@@ -1,0 +1,25 @@
+"""Test config: force a virtual 8-device CPU platform before any backend use.
+
+This gives every test deterministic multi-device capability without TPU
+hardware (the fake-backend capability the reference lacks, SURVEY.md §4).
+
+The ambient environment registers a TPU PJRT plugin via sitecustomize and
+pins the platform, so plain env vars are not enough: we override through
+jax.config, which works as long as no backend has been initialized yet
+(conftest imports run before any test imports jax).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_NUM_CPU_DEVICES", "8")
+
+# persistent compilation cache: repeated test runs skip recompiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,107 @@
+"""Model shape tests: every net builds and emits the contracted shapes.
+
+Mirrors the reference's model-shape smoke tests
+(/root/reference/model/build_model/depth_net.py:181-196,
+model_factory.py:154-205) as real pytest cases on tiny inputs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xpt_mde_tpu.models import ModelFactory
+from xpt_mde_tpu.models.layers import activation_factory
+
+B, S, H, W = 1, 5, 32, 64  # tiny but /32-divisible snippet
+
+
+def _features(stereo=False, seed=0):
+    rng = np.random.RandomState(seed)
+    feats = {"image5d": jnp.asarray(rng.rand(B, S, H, W, 3).astype(np.float32) * 2 - 1)}
+    if stereo:
+        feats["image5d_R"] = jnp.asarray(
+            rng.rand(B, S, H, W, 3).astype(np.float32) * 2 - 1)
+    return feats
+
+
+def _init_and_run(model, feats, train=False):
+    variables = model.init(jax.random.PRNGKey(0), feats, train=False)
+    if train and "batch_stats" in variables:
+        preds, _ = model.apply(variables, feats, train=True,
+                               mutable=["batch_stats"])
+    else:
+        preds = model.apply(variables, feats, train=False)
+    return preds
+
+
+def _check_depth_pose_shapes(preds, suffix=""):
+    depth_ms = preds["depth_ms" + suffix]
+    assert [d.shape for d in depth_ms] == [
+        (B, H, W, 1), (B, H // 2, W // 2, 1),
+        (B, H // 4, W // 4, 1), (B, H // 8, W // 8, 1)]
+    assert preds["pose" + suffix].shape == (B, S - 1, 6)
+    disp = preds["disp_ms" + suffix]
+    assert np.allclose(np.asarray(disp[0]), 1.0 / np.asarray(depth_ms[0]),
+                       atol=1e-5)
+
+
+def test_depthnet_basic_posenet_basic():
+    factory = ModelFactory(["image", "intrinsic"],
+                           {"depth": "DepthNetBasic", "camera": "PoseNetBasic"},
+                           stereo=False)
+    model = factory.get_model()
+    preds = _init_and_run(model, _features())
+    _check_depth_pose_shapes(preds)
+    # depth range of InverseSigmoid: (0.99, 100)
+    d0 = np.asarray(preds["depth_ms"][0])
+    assert d0.min() > 0.9 and d0.max() < 101
+
+
+def test_depthnet_efficientnet_b0():
+    factory = ModelFactory(["image", "intrinsic"],
+                           {"depth": "EfficientNetB0", "camera": "PoseNetImproved"},
+                           stereo=False)
+    model = factory.get_model()
+    preds = _init_and_run(model, _features(), train=True)
+    _check_depth_pose_shapes(preds)
+
+
+@pytest.mark.parametrize("backbone", ["ResNet50V2", "MobileNetV2", "VGG16"])
+def test_other_backbones_build(backbone):
+    factory = ModelFactory(["image", "intrinsic"],
+                           {"depth": backbone, "camera": "PoseNetImproved"},
+                           stereo=False)
+    model = factory.get_model()
+    preds = _init_and_run(model, _features(), train=True)
+    _check_depth_pose_shapes(preds)
+
+
+def test_stereo_pose_wrapper_outputs():
+    factory = ModelFactory(["image", "intrinsic", "image_R", "intrinsic_R",
+                            "stereo_T_LR"],
+                           {"depth": "DepthNetBasic", "camera": "PoseNetImproved"},
+                           stereo=True)
+    model = factory.get_model()
+    assert model.stereo and model.stereo_pose
+    preds = _init_and_run(model, _features(stereo=True))
+    _check_depth_pose_shapes(preds)
+    _check_depth_pose_shapes(preds, "_R")
+    assert preds["pose_LR"].shape == (B, S - 1, 6)
+    assert preds["pose_RL"].shape == (B, S - 1, 6)
+
+
+def test_exponential_activation():
+    act = activation_factory("Exponential")
+    out = np.asarray(act(jnp.asarray([-100.0, 0.0, 100.0])))
+    assert np.all(out > 0)
+    assert out[0] < out[1] < out[2]
+
+
+def test_high_res_posenet_builds():
+    from xpt_mde_tpu.models.pose_net import PoseNetImproved
+    model = PoseNetImproved(high_res=True)
+    x = jnp.zeros((1, 5, 64, 128, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    preds = model.apply(variables, x, train=False)
+    assert preds["pose"].shape == (1, 4, 6)

@@ -1,0 +1,102 @@
+"""Data-parallel tests on the virtual 8-device CPU mesh.
+
+Validates the SPMD design the reference could never test (SURVEY.md §4):
+sharded batches + replicated params, XLA-inserted gradient all-reduce,
+and numerical equivalence with the single-device step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xpt_mde_tpu import config as cfg
+from xpt_mde_tpu.data import SyntheticDataset
+from xpt_mde_tpu.losses import loss_factory
+from xpt_mde_tpu.models import ModelFactory
+from xpt_mde_tpu.parallel import (make_mesh, make_parallel_train_step,
+                                  replicate_state, shard_batch)
+from xpt_mde_tpu.training import create_train_state, optimizer_factory
+
+
+@pytest.fixture(scope="module")
+def dp_parts():
+    assert jax.device_count() == 8, "conftest must provide 8 CPU devices"
+    data = SyntheticDataset(batch_size=8, height=16, width=32, num_batches=2)
+    factory = ModelFactory(data.config_keys(),
+                           {"depth": "DepthNetBasic", "camera": "PoseNetBasic"},
+                           stereo=False)
+    model = factory.get_model()
+    total_loss = loss_factory(data.config_keys(), {"L1": 1.0},
+                              [4.0, 0.0, 0.0, 0.0], stereo=False,
+                              batch_size=8)
+    batch = {k: jnp.asarray(v) for k, v in next(iter(data)).items()}
+    return data, model, total_loss, batch
+
+
+def _fresh_state(model, batch):
+    tx = optimizer_factory("adam_constant", 1e-4)
+    return create_train_state(model, batch, tx)
+
+
+def test_mesh_creation():
+    mesh = make_mesh()
+    assert mesh.axis_names == ("data",)
+    assert mesh.devices.size == 8
+
+
+def test_parallel_step_runs(dp_parts):
+    data, model, total_loss, batch = dp_parts
+    mesh = make_mesh()
+    state = replicate_state(_fresh_state(model, batch), mesh)
+    sharded = shard_batch(batch, mesh)
+    step = make_parallel_train_step(model, total_loss, mesh)
+    state, metrics = step(state, sharded, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_parallel_matches_single_device(dp_parts):
+    """One DP step over 8 devices == one single-device step on the same
+    global batch (up to fp reduction order)."""
+    data, model, total_loss, batch = dp_parts
+    mesh = make_mesh()
+
+    # single-device
+    from xpt_mde_tpu.training import make_train_step
+    state1 = _fresh_state(model, batch)
+    params_before = jax.tree_util.tree_map(np.asarray, state1.params)
+    step1 = make_train_step(model, total_loss)
+    state1, m1 = step1(state1, batch, jax.random.PRNGKey(0))
+
+    # data-parallel: same init (recreate -- donation consumed state1's init)
+    state8 = _fresh_state(model, batch)
+    # check inits match
+    chex_same = jax.tree_util.tree_map(
+        lambda a, b: np.allclose(np.asarray(a), b, atol=0),
+        state8.params, params_before)
+    assert all(jax.tree_util.tree_leaves(chex_same))
+    state8 = replicate_state(state8, mesh)
+    step8 = make_parallel_train_step(model, total_loss, mesh)
+    state8, m8 = step8(state8, shard_batch(batch, mesh), jax.random.PRNGKey(0))
+
+    assert np.isclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4), (
+        float(m1["loss"]), float(m8["loss"]))
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        state1.params, state8.params)
+    max_diff = max(jax.tree_util.tree_leaves(diffs))
+    assert max_diff < 1e-4, max_diff
+
+
+def test_grads_synchronized_across_devices(dp_parts):
+    """After a DP step, replicated params must be identical on all devices."""
+    data, model, total_loss, batch = dp_parts
+    mesh = make_mesh()
+    state = replicate_state(_fresh_state(model, batch), mesh)
+    step = make_parallel_train_step(model, total_loss, mesh)
+    state, _ = step(state, shard_batch(batch, mesh), jax.random.PRNGKey(3))
+    # fully-replicated output sharding guarantees consistency; spot-check
+    # by reading one leaf from two devices
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards[:2]]
+    assert np.array_equal(shards[0], shards[1])

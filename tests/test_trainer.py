@@ -1,0 +1,83 @@
+"""Plan-driven trainer tests: multi-stage runs, resume, checkpoints.
+
+Exercises the capability of /root/reference/model/model_main.py:20-56 on
+synthetic data: staged training with different net sets, history-based
+stage skipping, per-net checkpoint handoff between stages.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from xpt_mde_tpu.config import SCALE_WEIGHT_T1 as SW, Config, TrainStage
+from xpt_mde_tpu.data import SyntheticDataset
+from xpt_mde_tpu.training.checkpoint import read_previous_epoch
+from xpt_mde_tpu.training.trainer import train_by_plan
+
+
+def synthetic_factory(dataset_name, split, batch_size):
+    n = 3 if split == "train" else 1
+    return SyntheticDataset(batch_size=batch_size, height=32, width=64,
+                            num_batches=n, seed=0 if split == "train" else 9)
+
+
+def make_cfg(tmp_path, plan):
+    return Config(
+        stereo=False, per_replica_batch=2, compute_dtype="float32",
+        augment_probs={}, datapath=str(tmp_path), ckpt_name="test01",
+        training_plan=plan,
+    )
+
+
+@pytest.mark.slow
+def test_two_stage_plan_with_resume(tmp_path):
+    nets = {"depth": "DepthNetBasic", "camera": "PoseNetImproved"}
+    plan = [
+        TrainStage(nets, "synthetic", 1, 1e-4, {"L1": 1.0}, SW, True),
+        TrainStage(nets, "synthetic", 1, 1e-4, {"L1": 0.5, "SSIM": 0.5,
+                                                "smoothe": 1.0}, SW, True),
+    ]
+    cfg = make_cfg(tmp_path, plan)
+    train_by_plan(cfg, synthetic_factory)
+
+    ckpt_dir = Path(cfg.datapath_ckp) / cfg.ckpt_name
+    hist = (ckpt_dir / "history.csv").read_text().strip().splitlines()
+    assert len(hist) == 3  # header + 2 epochs
+    assert read_previous_epoch(ckpt_dir) == 2
+    # per-net weights + stage checkpoints exist
+    assert (ckpt_dir / "depthnet_latest.msgpack").is_file()
+    assert (ckpt_dir / "posenet_latest.msgpack").is_file()
+    assert (ckpt_dir / "depthnet_ep01.msgpack").is_file()
+    assert (ckpt_dir / "depthnet_ep02.msgpack").is_file()
+    assert (ckpt_dir / "history.png").is_file()
+    assert (ckpt_dir / "config_snapshot.json").is_file()
+
+    # rerun: both stages must be skipped instantly
+    train_by_plan(cfg, synthetic_factory)
+    hist2 = (ckpt_dir / "history.csv").read_text().strip().splitlines()
+    assert len(hist2) == 3  # unchanged
+
+    # extending the plan trains only the new stage
+    plan3 = plan + [TrainStage(nets, "synthetic", 1, 1e-5, {"L1": 1.0},
+                               SW, False)]
+    cfg3 = make_cfg(tmp_path, plan3)
+    train_by_plan(cfg3, synthetic_factory)
+    hist3 = (ckpt_dir / "history.csv").read_text().strip().splitlines()
+    assert len(hist3) == 4
+
+
+@pytest.mark.slow
+def test_config_drift_detection(tmp_path):
+    nets = {"depth": "DepthNetBasic", "camera": "PoseNetBasic"}
+    plan = [TrainStage(nets, "synthetic", 1, 1e-4, {"L1": 1.0}, SW, False)]
+    cfg = make_cfg(tmp_path, plan)
+    train_by_plan(cfg, synthetic_factory)
+
+    from xpt_mde_tpu.utils.util_class import WrongInputError
+    cfg2 = make_cfg(tmp_path, plan)
+    cfg2.min_depth = 0.5  # drift in a fixed option
+    cfg2.training_plan = plan + plan
+    with pytest.raises(WrongInputError):
+        train_by_plan(cfg2, synthetic_factory)

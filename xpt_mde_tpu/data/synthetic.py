@@ -1,0 +1,125 @@
+"""Synthetic in-memory snippet dataset for tests and end-to-end checks.
+
+The fake-data capability the reference lacks (SURVEY.md §4): generates
+5-frame snippets of a textured fronto-parallel scene observed by a camera
+translating in x/z, with exact GT depth, GT target->source poses, camera
+intrinsics and (optionally) stereo views with a known extrinsic.
+
+Feature dict layout matches the real loader:
+    image5d      [B, S, H, W, 3] float32 in [-1, 1], target LAST
+    intrinsic    [B, 3, 3]
+    depth_gt     [B, H, W, 1]
+    pose_gt      [B, numsrc, 4, 4]  (target -> source)
+    [+ _R twins and stereo_T_LR when stereo=True]
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _texture(height: int, width: int, rng: np.random.RandomState) -> np.ndarray:
+    """Smooth random texture in [-1, 1] with strong horizontal gradients
+    (so photometric losses are informative)."""
+    freqs = rng.uniform(0.05, 0.4, (4,))
+    phases = rng.uniform(0, np.pi * 2, (4,))
+    u = np.arange(width, dtype=np.float32)[None, :]
+    v = np.arange(height, dtype=np.float32)[:, None]
+    img = sum(np.sin(u * f + p) * 0.4 for f, p in zip(freqs[:2], phases[:2]))
+    img = img + sum(np.sin(v * f + p) * 0.2 for f, p in zip(freqs[2:], phases[2:]))
+    rgb = np.stack([img, np.roll(img, 3, axis=1), np.roll(img, 7, axis=0)], -1)
+    return np.clip(rgb, -1, 1).astype(np.float32)
+
+
+class SyntheticDataset:
+    """Iterable of feature-dict batches with exact geometry."""
+
+    def __init__(self, batch_size: int = 2, snippet_len: int = 5,
+                 height: int = 32, width: int = 64, num_batches: int = 8,
+                 stereo: bool = False, seed: int = 0, depth_m: float = 10.0,
+                 step_m: float = 0.5):
+        self.batch_size = batch_size
+        self.snippet_len = snippet_len
+        self.height = height
+        self.width = width
+        self.num_batches = num_batches
+        self.stereo = stereo
+        self.seed = seed
+        self.depth_m = depth_m
+        self.step_m = step_m
+        fx = width * 0.6
+        self.intrinsic = np.array(
+            [[fx, 0, width / 2], [0, fx, height / 2], [0, 0, 1]], np.float32)
+
+    def __len__(self):
+        return self.num_batches
+
+    def config_keys(self):
+        keys = ["image", "intrinsic", "depth_gt", "pose_gt"]
+        if self.stereo:
+            keys += ["image_R", "intrinsic_R", "pose_gt_R", "stereo_T_LR"]
+        return keys
+
+    def _render(self, texture: np.ndarray, cam_x: float) -> np.ndarray:
+        """Render the plane seen from camera x-offset ``cam_x`` (meters):
+        pure horizontal shift by fx * cam_x / z pixels (sampled exactly
+        through np.interp per row)."""
+        fx = self.intrinsic[0, 0]
+        shift = fx * cam_x / self.depth_m
+        u = np.arange(self.width, dtype=np.float32)
+        out = np.empty_like(texture)
+        for c in range(texture.shape[-1]):
+            for v in range(self.height):
+                out[v, :, c] = np.interp(u + shift, u, texture[v, :, c])
+        return out
+
+    def _make_example(self, rng: np.random.RandomState):
+        s = self.snippet_len
+        texture = _texture(self.height, self.width, rng)
+        # camera positions: sources at [-2, -1, +1, +2] * step, target at 0
+        # (target frame LAST in the stack, example_maker.py:119-121)
+        offsets = [(-2 + i) * self.step_m for i in range(s - 1 + 1)]
+        src_offsets = [o for o in offsets if o != 0.0][: s - 1]
+        frames = [self._render(texture, o) for o in src_offsets]
+        frames.append(texture)  # target at x=0
+        image5d = np.stack(frames, axis=0)
+
+        # target->source transform for camera at +o: x_src = x - o
+        pose_gt = np.tile(np.eye(4, dtype=np.float32), (s - 1, 1, 1))
+        for i, o in enumerate(src_offsets):
+            pose_gt[i, 0, 3] = -o
+        depth_gt = np.full((self.height, self.width, 1), self.depth_m, np.float32)
+        return image5d, depth_gt, pose_gt
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed)
+        for _ in range(self.num_batches):
+            images, depths, poses = [], [], []
+            for _ in range(self.batch_size):
+                im, de, po = self._make_example(rng)
+                images.append(im)
+                depths.append(de)
+                poses.append(po)
+            feats = {
+                "image5d": np.stack(images),
+                "intrinsic": np.tile(self.intrinsic, (self.batch_size, 1, 1)),
+                "depth_gt": np.stack(depths),
+                "pose_gt": np.stack(poses),
+            }
+            if self.stereo:
+                baseline = 0.3
+                # right camera = left camera shifted by +baseline; with a
+                # fronto-parallel plane the right view is an exact re-render
+                # of each left frame
+                images_r = [
+                    np.stack([self._render(frame, baseline)
+                              for frame in feats["image5d"][b]])
+                    for b in range(self.batch_size)]
+                feats["image5d_R"] = np.stack(images_r).astype(np.float32)
+                feats["intrinsic_R"] = feats["intrinsic"].copy()
+                feats["pose_gt_R"] = feats["pose_gt"].copy()
+                t_lr = np.tile(np.eye(4, dtype=np.float32),
+                               (self.batch_size, 1, 1))
+                t_lr[:, 0, 3] = baseline  # right->left: x_L = x_R + b
+                feats["stereo_T_LR"] = t_lr
+            yield feats

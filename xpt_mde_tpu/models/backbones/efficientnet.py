@@ -1,0 +1,136 @@
+"""EfficientNet B0-B7 encoder (native Flax implementation).
+
+Capability twin of the keras EfficientNet backbones used by the reference
+(/root/reference/model/build_model/pretrained_nets.py:67-85); the headline
+model uses EfficientNetB5 (config-example.py:218). Emits the 5 feature
+maps at strides (2, 4, 8, 16, 32) that DepthNetPretrained's decoder
+expects (tap points mirror scaled_layers.json: ends of stages 1, 2, 3, 5, 7).
+
+TPU notes: BatchNorm keeps running stats in the ``batch_stats`` collection
+(handled by the TrainState); swish fuses into the convs under XLA; all
+convs run in the model dtype (bfloat16 by default) with f32 params.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# (expand_ratio, channels, repeats, stride, kernel) for B0
+_B0_STAGES = [
+    (1, 16, 1, 1, 3),
+    (6, 24, 2, 2, 3),
+    (6, 40, 2, 2, 5),
+    (6, 80, 3, 2, 3),
+    (6, 112, 3, 1, 5),
+    (6, 192, 4, 2, 5),
+    (6, 320, 1, 1, 3),
+]
+
+# (width_mult, depth_mult) per variant
+_SCALING = {
+    "B0": (1.0, 1.0), "B1": (1.0, 1.1), "B2": (1.1, 1.2), "B3": (1.2, 1.4),
+    "B4": (1.4, 1.8), "B5": (1.6, 2.2), "B6": (1.8, 2.6), "B7": (2.0, 3.1),
+}
+
+
+def round_filters(filters: float, width_mult: float, divisor: int = 8) -> int:
+    filters *= width_mult
+    new_f = max(divisor, int(filters + divisor / 2) // divisor * divisor)
+    if new_f < 0.9 * filters:
+        new_f += divisor
+    return int(new_f)
+
+
+def round_repeats(repeats: int, depth_mult: float) -> int:
+    return int(math.ceil(depth_mult * repeats))
+
+
+class SqueezeExcite(nn.Module):
+    reduced_ch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        se = jnp.mean(x, axis=(1, 2), keepdims=True)
+        se = nn.Conv(self.reduced_ch, (1, 1), dtype=self.dtype,
+                     param_dtype=jnp.float32)(se)
+        se = nn.swish(se)
+        se = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype,
+                     param_dtype=jnp.float32)(se)
+        return x * nn.sigmoid(se)
+
+
+class MBConv(nn.Module):
+    """Mobile inverted bottleneck with SE and residual."""
+
+    out_ch: int
+    expand_ratio: int
+    stride: int
+    kernel: int
+    se_ratio: float = 0.25
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        residual = x
+        norm = lambda: nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.99, epsilon=1e-3,
+                                    dtype=self.dtype, param_dtype=jnp.float32)
+        if self.expand_ratio != 1:
+            x = nn.Conv(in_ch * self.expand_ratio, (1, 1), use_bias=False,
+                        dtype=self.dtype, param_dtype=jnp.float32)(x)
+            x = norm()(x)
+            x = nn.swish(x)
+        x = nn.Conv(x.shape[-1], (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    feature_group_count=x.shape[-1], use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = norm()(x)
+        x = nn.swish(x)
+        x = SqueezeExcite(max(1, int(in_ch * self.se_ratio)), self.dtype)(x)
+        x = nn.Conv(self.out_ch, (1, 1), use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = norm()(x)
+        if self.stride == 1 and in_ch == self.out_ch:
+            x = x + residual
+        return x
+
+
+class EfficientNet(nn.Module):
+    """EfficientNet encoder; ``variant`` in B0..B7.
+
+    Returns [f2, f4, f8, f16, f32] feature maps for input [B, H, W, 3]
+    in [-1, 1].
+    """
+
+    variant: str = "B5"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        width_mult, depth_mult = _SCALING[self.variant]
+        norm = lambda: nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.99, epsilon=1e-3,
+                                    dtype=self.dtype, param_dtype=jnp.float32)
+        # stem: stride 2
+        x = nn.Conv(round_filters(32, width_mult), (3, 3), strides=(2, 2),
+                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32)(x)
+        x = norm()(x)
+        x = nn.swish(x)
+
+        taps = []
+        for stage_idx, (expand, ch, reps, stride, kernel) in enumerate(_B0_STAGES):
+            out_ch = round_filters(ch, width_mult)
+            for rep in range(round_repeats(reps, depth_mult)):
+                s = stride if rep == 0 else 1
+                x = MBConv(out_ch, expand, s, kernel, dtype=self.dtype)(x, train)
+            # tap at ends of stages 1, 2, 3, 5, 7 -> strides 2, 4, 8, 16, 32
+            if stage_idx in (0, 1, 2, 4, 6):
+                taps.append(x)
+        return taps

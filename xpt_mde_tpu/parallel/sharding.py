@@ -1,0 +1,87 @@
+"""Data-parallel train step via SPMD sharding annotations.
+
+TPU-first replacement for the reference's MirroredStrategy plumbing
+(/root/reference/model/model_util/distributer.py): there is no replica
+loop, no per-replica output integrator, no strategy scope. The SAME
+train-step function jits with
+
+- params/opt-state replicated over the mesh,
+- the batch sharded along the ``data`` axis,
+
+and XLA's SPMD partitioner inserts the gradient all-reduce (psum) over
+ICI automatically. ``TotalLoss`` divides by the *global* batch size
+(losses.py:49 semantics), so per-device partial sums compose exactly.
+
+Defects of the reference explicitly NOT carried over (SURVEY.md §2.7):
+the distributed dataset tuple-unpack crash and the 2-replica-only
+integrate_scalar_loss dead code -- neither concept exists here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _data_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def _replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(features: Mapping[str, Any], mesh: Mesh) -> dict:
+    """Device-put every feature array sharded on its leading (batch) axis."""
+    sharding = _data_sharding(mesh)
+    return {k: jax.device_put(v, sharding) for k, v in features.items()}
+
+
+def replicate_state(state, mesh: Mesh):
+    """Device-put the train state fully replicated across the mesh."""
+    return jax.device_put(state, _replicated(mesh))
+
+
+def make_parallel_train_step(model, total_loss, mesh: Mesh,
+                             augmenter=None,
+                             regularize_net: Optional[str] = None) -> Callable:
+    """Jit the train step over the mesh: batch sharded on ``data``,
+    state replicated; XLA inserts psum for the grads over ICI.
+
+    ``total_loss.batch_size`` must be the GLOBAL batch size (or None, in
+    which case the global batch dim of the sharded array is used, which
+    is already global under SPMD).
+    """
+    from xpt_mde_tpu.training import train_step as ts
+
+    def step_body(state, features, rng):
+        if augmenter is not None:
+            aug_rng, rng = jax.random.split(rng)
+            features = augmenter(dict(features), aug_rng)
+
+        def loss_fn(params):
+            preds, new_bs = ts._forward(model, state, params, features, True)
+            if regularize_net is not None and regularize_net in params:
+                preds = dict(preds)
+                preds["regularize_weights"] = params[regularize_net]
+            loss, loss_by_type = total_loss(preds, features)
+            return loss, (loss_by_type, new_bs, preds)
+
+        (loss, (loss_by_type, new_bs, preds)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        if new_bs is not None:
+            state = state.replace(batch_stats=new_bs)
+        metrics = ts._compute_metrics(preds, features, loss, loss_by_type)
+        return state, metrics
+
+    repl = _replicated(mesh)
+    data = _data_sharding(mesh)
+    return jax.jit(
+        step_body,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,132 @@
+"""Checkpointing: per-net weights + full-state resume.
+
+Layout mirrors the reference's per-net H5 files
+(/root/reference/model/build_model/model_wrappers.py:101-117): each
+sub-net's params are a separate ``{netname}_{suffix}.msgpack`` so a plan
+stage with a different net set (rigid vs joint, model_main.py:99-106)
+loads exactly the nets it shares. Improvements over the reference:
+
+- full optimizer state + step are ALSO checkpointed
+  (``trainstate_{suffix}.msgpack``) for exact mid-stage resume -- the
+  reference dropped optimizer state entirely (SURVEY.md §5);
+- config snapshot drift check on resume (logger.py:256-287 role).
+
+Kept behaviors: "latest" every epoch, "ep{NN}" at stage ends; resume
+epoch derived from history.csv (util_funcs.py:129-143).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import flax
+import jax
+import numpy as np
+
+from xpt_mde_tpu.utils.util_class import WrongInputError
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir):
+        self.ckpt_dir = Path(ckpt_dir)
+        self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+
+    def save(self, state, suffix: str = "latest"):
+        """Per-net params + batch stats + the full train state."""
+        for net, params in state.params.items():
+            data = flax.serialization.to_bytes(params)
+            (self.ckpt_dir / f"{net}_{suffix}.msgpack").write_bytes(data)
+        if state.batch_stats is not None:
+            data = flax.serialization.to_bytes(state.batch_stats)
+            (self.ckpt_dir / f"batchstats_{suffix}.msgpack").write_bytes(data)
+        full = {"params": state.params, "opt_state": state.opt_state,
+                "step": state.step}
+        if state.batch_stats is not None:
+            full["batch_stats"] = state.batch_stats
+        data = flax.serialization.to_bytes(full)
+        (self.ckpt_dir / f"trainstate_{suffix}.msgpack").write_bytes(data)
+
+    def restore_params(self, state, suffix: str = "latest"):
+        """Load per-net params that exist on disk AND in the model; nets
+        without a file train from scratch (model_main.py:99-106)."""
+        params = dict(state.params)
+        loaded_any = False
+        for net in params.keys():
+            path = self.ckpt_dir / f"{net}_{suffix}.msgpack"
+            if not path.is_file():
+                print(f"[ckpt] no weights for {net}, train from scratch")
+                continue
+            try:
+                params[net] = flax.serialization.from_bytes(
+                    params[net], path.read_bytes())
+                loaded_any = True
+                print(f"[ckpt] loaded {net} from {path.name}")
+            except Exception as e:
+                print(f"[ckpt] FAILED to load {net}: {e}")
+        state = state.replace(params=flax.core.freeze(params)
+                              if isinstance(state.params, flax.core.FrozenDict)
+                              else params)
+        bs_path = self.ckpt_dir / f"batchstats_{suffix}.msgpack"
+        if state.batch_stats is not None and bs_path.is_file():
+            try:
+                state = state.replace(batch_stats=flax.serialization.from_bytes(
+                    state.batch_stats, bs_path.read_bytes()))
+            except Exception as e:
+                print(f"[ckpt] FAILED to load batch stats: {e}")
+        return state, loaded_any
+
+    def restore_full(self, state, suffix: str = "latest"):
+        """Exact resume (params + optimizer + step) when the tree matches;
+        returns None when unavailable or incompatible."""
+        path = self.ckpt_dir / f"trainstate_{suffix}.msgpack"
+        if not path.is_file():
+            return None
+        target = {"params": state.params, "opt_state": state.opt_state,
+                  "step": state.step}
+        if state.batch_stats is not None:
+            target["batch_stats"] = state.batch_stats
+        try:
+            restored = flax.serialization.from_bytes(target, path.read_bytes())
+        except Exception as e:
+            print(f"[ckpt] full-state restore incompatible ({e}); "
+                  "falling back to per-net weights")
+            return None
+        state = state.replace(params=restored["params"],
+                              opt_state=restored["opt_state"],
+                              step=np.asarray(restored["step"]).item())
+        if "batch_stats" in restored:
+            state = state.replace(batch_stats=restored["batch_stats"])
+        return state
+
+
+def read_previous_epoch(ckpt_dir) -> int:
+    """Next epoch to run, from history.csv (util_funcs.py:129-143)."""
+    hist = Path(ckpt_dir) / "history.csv"
+    if not hist.is_file():
+        return 0
+    epochs = []
+    for line in hist.read_text().strip().splitlines()[1:]:
+        try:
+            epochs.append(int(float(line.split(",")[0])))
+        except (ValueError, IndexError):
+            continue
+    return max(epochs) + 1 if epochs else 0
+
+
+def snapshot_config(ckpt_dir, config_dict: dict):
+    """Save the config next to the checkpoint; on resume assert the fixed
+    options are unchanged (logger.py:256-287)."""
+    path = Path(ckpt_dir) / "config_snapshot.json"
+    if path.exists():
+        old = json.loads(path.read_text())
+        fixed_keys = ["stereo", "high_res", "snippet_len", "min_depth",
+                      "max_depth", "depth_activation"]
+        for key in fixed_keys:
+            if key in old and old.get(key) != config_dict.get(key):
+                raise WrongInputError(
+                    f"config drift on resume: {key}: "
+                    f"{old.get(key)} != {config_dict.get(key)}")
+    else:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(config_dict, indent=2, default=str))

@@ -1,0 +1,130 @@
+"""Pure-functional train/eval steps.
+
+The reference's hot loop (/root/reference/model/train_val.py:78-155) is
+re-designed TPU-first:
+
+- ONE jitted function per stage: augment -> forward -> total loss ->
+  grad -> update, all on device; metrics stay on device and the host
+  syncs every N steps (the reference synced per step, train_val.py:159);
+- BatchNorm running stats live in ``state.batch_stats`` and are updated
+  through the mutable-collection mechanism;
+- distribution is orthogonal: the same step function jits over a device
+  mesh with sharded batches (parallel/sharding.py), XLA inserting the
+  gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from xpt_mde_tpu.training import metrics as tm
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def create_train_state(model, example_features: Mapping[str, Any],
+                       tx: optax.GradientTransformation,
+                       rng: Optional[jax.Array] = None) -> TrainState:
+    """Initialize model variables and wrap them in a TrainState."""
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    variables = model.init(rng, example_features, train=False)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        tx=tx,
+    )
+
+
+def _forward(model, state: TrainState, params, features, train: bool):
+    variables = {"params": params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+        if train:
+            preds, new_state = model.apply(variables, features, train=True,
+                                           mutable=["batch_stats"])
+            return preds, new_state["batch_stats"]
+        preds = model.apply(variables, features, train=False)
+        return preds, state.batch_stats
+    preds = model.apply(variables, features, train=train)
+    return preds, None
+
+
+def _compute_metrics(preds, features, loss, loss_by_type):
+    metrics = {"loss": loss}
+    metrics.update({f"loss/{k}": v for k, v in loss_by_type.items()})
+    if "depth_ms" in preds and "depth_gt" in features:
+        metrics["depth_abs_rel"] = jnp.mean(
+            tm.depth_abs_rel(preds["depth_ms"][0], features["depth_gt"]))
+        # center-region mean depth magnitude (train_val.py:212-236)
+        d = preds["depth_ms"][0]
+        h, w = d.shape[1:3]
+        metrics["depth_center_mean"] = jnp.mean(
+            d[:, h // 4: h * 3 // 4, w // 4: w * 3 // 4])
+    if "pose" in preds and "pose_gt" in features:
+        metrics.update(tm.pose_metrics(preds["pose"], features["pose_gt"]))
+    return metrics
+
+
+def make_train_step(model, total_loss, augmenter=None,
+                    regularize_net: Optional[str] = None) -> Callable:
+    """Build the jitted train step.
+
+    :param model: VodeModel (Flax module)
+    :param total_loss: TotalLoss callable (preds, features) -> (loss, dict)
+    :param augmenter: optional TotalAugment applied on device pre-forward
+    :param regularize_net: net whose params feed the flow_reg L2 loss
+    """
+
+    def train_step(state: TrainState, features: Mapping[str, Any], rng):
+        if augmenter is not None:
+            aug_rng, rng = jax.random.split(rng)
+            features = augmenter(dict(features), aug_rng)
+
+        def loss_fn(params):
+            preds, new_batch_stats = _forward(model, state, params, features,
+                                              train=True)
+            if regularize_net is not None and regularize_net in params:
+                preds = dict(preds)
+                preds["regularize_weights"] = params[regularize_net]
+            loss, loss_by_type = total_loss(preds, features)
+            return loss, (loss_by_type, new_batch_stats, preds)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (loss_by_type, new_batch_stats, preds)), grads = grad_fn(state.params)
+        state = state.apply_gradients(grads=grads)
+        if new_batch_stats is not None:
+            state = state.replace(batch_stats=new_batch_stats)
+        metrics = _compute_metrics(preds, features, loss, loss_by_type)
+        return state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, total_loss) -> Callable:
+    """Validation step: forward + loss + metrics, no update."""
+
+    def eval_step(state: TrainState, features: Mapping[str, Any]):
+        preds, _ = _forward(model, state, state.params, features, train=False)
+        loss, loss_by_type = total_loss(preds, features)
+        return _compute_metrics(preds, features, loss, loss_by_type)
+
+    return jax.jit(eval_step)
+
+
+def make_predict_step(model) -> Callable:
+    """Inference step returning the full prediction dict."""
+
+    def predict_step(state: TrainState, features: Mapping[str, Any]):
+        preds, _ = _forward(model, state, state.params, features, train=False)
+        return preds
+
+    return jax.jit(predict_step)

@@ -1,0 +1,220 @@
+"""Plan-driven training: the reference's train_by_plan, TPU-first.
+
+Re-designs /root/reference/model/model_main.py:20-129 and
+model/train_val.py. Structure carried over:
+
+- walks ``TRAINING_PLAN`` rows (nets, dataset, epochs, lr, loss recipe,
+  scale weights, save_ckpt), accumulating a global epoch count and
+  skipping completed stages via history.csv resume
+  (model_main.py:20-56, util_funcs.py:129-143);
+- per stage: dataset loaders, ModelFactory, augmentation, loss_factory,
+  constant-LR Adam; flownet frozen when training jointly
+  (model_main.py:88-90);
+- per epoch: train epoch -> val epoch -> logs + recon samples +
+  "latest" checkpoint; "ep{NN}" at stage end.
+
+TPU-first differences: ONE jitted step per stage (optionally sharded
+over a data mesh); device metrics accumulate on device and sync to host
+once per log interval, not per step (the reference synced per step --
+train_val.py:159, the throughput bug SURVEY.md flags).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xpt_mde_tpu.config import Config, TrainStage
+from xpt_mde_tpu.losses import loss_factory
+from xpt_mde_tpu.models import ModelFactory
+from xpt_mde_tpu.training.augmentation import augmentation_factory
+from xpt_mde_tpu.training.checkpoint import (CheckpointManager,
+                                             read_previous_epoch,
+                                             snapshot_config)
+from xpt_mde_tpu.training.logger import TrainingLogger, print_progress
+from xpt_mde_tpu.training.optimizers import optimizer_factory
+from xpt_mde_tpu.training.train_step import (create_train_state,
+                                             make_eval_step, make_train_step,
+                                             make_predict_step)
+from xpt_mde_tpu.utils.util_class import DurationTime
+
+
+def default_dataset_factory(cfg: Config):
+    """Open shard datasets from cfg.datapath_shd."""
+    from xpt_mde_tpu.data.shard_io import DatasetLoader, ShardDataset
+
+    def factory(dataset_name: str, split: str, batch_size: int):
+        ds = ShardDataset(Path(cfg.datapath_shd) / f"{dataset_name}_{split}")
+        return DatasetLoader(ds, batch_size, cfg.snippet_len,
+                             shuffle=(split == "train"))
+    return factory
+
+
+class StageRuntime:
+    """Everything needed to run one plan stage."""
+
+    def __init__(self, cfg: Config, stage: TrainStage, dataset_factory,
+                 mesh=None):
+        self.cfg = cfg
+        self.stage = stage
+        self.mesh = mesh
+        self.train_loader = dataset_factory(stage.dataset, "train",
+                                            cfg.batch_size)
+        try:
+            self.val_loader = dataset_factory(stage.dataset, "val",
+                                              cfg.batch_size)
+        except Exception:
+            self.val_loader = None
+        dataset_keys = self._loader_keys(self.train_loader)
+
+        factory = ModelFactory(dataset_keys, stage.net_names,
+                               cfg.depth_activation, stereo=cfg.stereo,
+                               high_res=cfg.high_res,
+                               upsample_interp=cfg.depth_upsample_interp,
+                               compute_dtype=cfg.compute_dtype)
+        self.model = factory.get_model()
+        self.total_loss = loss_factory(dataset_keys, stage.loss_weights,
+                                       stage.scale_weights, cfg.stereo,
+                                       batch_size=cfg.batch_size)
+        self.augmenter = augmentation_factory(cfg.augment_probs)
+
+        # flownet frozen in joint depth+flow stages (model_main.py:88-90)
+        frozen = []
+        if "flow" in stage.net_names and "depth" in stage.net_names:
+            frozen.append("flownet")
+        self.tx = optimizer_factory(cfg.optimizer, stage.learning_rate,
+                                    frozen_nets=frozen)
+        reg_net = "flownet" if "flow_reg" in stage.loss_weights else None
+
+        example = self._to_device(next(iter(self.train_loader)))
+        self.example = example
+        self.state = create_train_state(self.model, example, self.tx)
+
+        if mesh is not None:
+            from xpt_mde_tpu.parallel import (make_parallel_train_step,
+                                              replicate_state)
+            self.train_step = make_parallel_train_step(
+                self.model, self.total_loss, mesh, augmenter=self.augmenter,
+                regularize_net=reg_net)
+            self._replicate = lambda s: replicate_state(s, mesh)
+        else:
+            self.train_step = make_train_step(
+                self.model, self.total_loss, augmenter=self.augmenter,
+                regularize_net=reg_net)
+            self._replicate = lambda s: s
+        self.eval_step = make_eval_step(self.model, self.total_loss)
+        self.predict_step = make_predict_step(self.model)
+
+    @staticmethod
+    def _loader_keys(loader):
+        if hasattr(loader, "config_keys"):
+            return loader.config_keys()
+        if hasattr(loader, "ds"):
+            return loader.ds.keys()
+        raise ValueError("loader must expose config_keys() or .ds.keys()")
+
+    def _to_device(self, batch: dict) -> dict:
+        feats = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            from xpt_mde_tpu.parallel import shard_batch
+            feats = shard_batch(feats, self.mesh)
+        return feats
+
+    # --- epoch loops ------------------------------------------------------
+
+    def run_train_epoch(self, rng, log_every: int = 50) -> dict:
+        metric_sums, count = None, 0
+        steps = getattr(self.train_loader, "steps_per_epoch",
+                        len(self.train_loader))
+        with DurationTime() as dt:
+            for step_idx, batch in enumerate(self.train_loader):
+                rng, sub = jax.random.split(rng)
+                self.state, metrics = self.train_step(
+                    self.state, self._to_device(batch), sub)
+                # on-device accumulation; host sync only on log interval
+                metric_sums = metrics if metric_sums is None else \
+                    jax.tree_util.tree_map(jnp.add, metric_sums, metrics)
+                count += 1
+                if step_idx % log_every == 0:
+                    loss = float(metrics["loss"])
+                    print_progress(f"  train {step_idx}/{steps} "
+                                   f"loss={loss:.4f}")
+        print("")
+        means = {k: float(v) / count for k, v in metric_sums.items()}
+        means["sec_per_epoch"] = dt.duration
+        return means
+
+    def run_val_epoch(self) -> dict:
+        if self.val_loader is None:
+            return {}
+        metric_sums, count = None, 0
+        for batch in self.val_loader:
+            metrics = self.eval_step(self.state, self._to_device(batch))
+            metric_sums = metrics if metric_sums is None else \
+                jax.tree_util.tree_map(jnp.add, metric_sums, metrics)
+            count += 1
+        if count == 0:
+            return {}
+        return {k: float(v) / count for k, v in metric_sums.items()}
+
+
+def train_by_plan(cfg: Config, dataset_factory: Optional[Callable] = None,
+                  mesh=None) -> None:
+    """Walk the training plan, resuming completed stages
+    (model_main.py:20-27)."""
+    dataset_factory = dataset_factory or default_dataset_factory(cfg)
+    ckpt_dir = Path(cfg.datapath_ckp) / cfg.ckpt_name
+    snapshot_config(ckpt_dir, cfg.to_json_dict())
+    initial_epoch = read_previous_epoch(ckpt_dir)
+
+    target_epoch = 0
+    for stage_idx, stage in enumerate(cfg.training_plan):
+        target_epoch += stage.epochs
+        if initial_epoch >= target_epoch:
+            print(f"[train_by_plan] stage {stage_idx} already done")
+            continue
+        train_stage(cfg, stage, stage_idx, initial_epoch, target_epoch,
+                    dataset_factory, mesh)
+        initial_epoch = max(initial_epoch, target_epoch)
+
+
+def train_stage(cfg: Config, stage: TrainStage, stage_idx: int,
+                initial_epoch: int, target_epoch: int,
+                dataset_factory, mesh=None) -> None:
+    print(f"[train_stage] stage {stage_idx}: nets={dict(stage.net_names)} "
+          f"dataset={stage.dataset} lr={stage.learning_rate} "
+          f"epochs {initial_epoch}..{target_epoch}")
+    ckpt_dir = Path(cfg.datapath_ckp) / cfg.ckpt_name
+    runtime = StageRuntime(cfg, stage, dataset_factory, mesh)
+    ckpt = CheckpointManager(ckpt_dir)
+    logger = TrainingLogger(ckpt_dir, cfg.log_loss)
+
+    # exact mid-stage resume if possible, else per-net weights
+    restored = ckpt.restore_full(runtime.state)
+    if restored is not None:
+        runtime.state = restored
+    else:
+        runtime.state, _ = ckpt.restore_params(runtime.state)
+    runtime.state = runtime._replicate(runtime.state)
+
+    rng = jax.random.PRNGKey(initial_epoch)
+    for epoch in range(initial_epoch, target_epoch):
+        print(f"========== epoch {epoch} (stage {stage_idx})")
+        rng, sub = jax.random.split(rng)
+        train_metrics = runtime.run_train_epoch(sub)
+        val_metrics = runtime.run_val_epoch()
+        print(f"  epoch {epoch}: train_loss={train_metrics.get('loss', 0):.4f}"
+              f" val_loss={val_metrics.get('loss', 0):.4f}"
+              f" ({train_metrics.get('sec_per_epoch', 0):.1f}s)")
+
+        logger.save_log(epoch, train_metrics, val_metrics)
+        preds = runtime.predict_step(runtime.state, runtime.example)
+        logger.save_scales(epoch, preds)
+        logger.save_reconstruction_samples(epoch, runtime.example, preds)
+        ckpt.save(runtime.state, "latest")
+    if stage.save_ckpt:
+        ckpt.save(runtime.state, f"ep{target_epoch:02d}")
