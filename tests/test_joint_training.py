@@ -1,0 +1,70 @@
+"""Joint depth+pose+flow training tests (the reference's JOINT_NET stage
+capability: model_main.py:81-96, config-example.py:51-58)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xpt_mde_tpu import config as cfg
+from xpt_mde_tpu.data import SyntheticDataset
+from xpt_mde_tpu.losses import loss_factory
+from xpt_mde_tpu.models import ModelFactory
+from xpt_mde_tpu.training import (create_train_state, make_train_step,
+                                  optimizer_factory)
+
+NETS = {"depth": "DepthNetBasic", "camera": "PoseNetImproved", "flow": "PWCNet"}
+
+
+@pytest.fixture(scope="module")
+def joint_parts():
+    data = SyntheticDataset(batch_size=1, height=64, width=128, num_batches=1)
+    factory = ModelFactory(data.config_keys(), NETS, stereo=False)
+    model = factory.get_model()
+    batch = {k: jnp.asarray(v) for k, v in next(iter(data)).items()}
+    return data, model, batch
+
+
+def test_joint_model_outputs(joint_parts):
+    data, model, batch = joint_parts
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    preds = model.apply(variables, batch, train=False)
+    assert "depth_ms" in preds and "pose" in preds and "flow_ms" in preds
+    assert preds["flow_ms"][0].shape == (1, 4, 16, 32, 2)
+
+
+def test_joint_step_with_combined_loss_and_frozen_flownet(joint_parts):
+    """LOSS_RIGID_COMB-style stage: cmb losses consume flow warps, the
+    flownet is frozen (model_main.py:88-90)."""
+    data, model, batch = joint_parts
+    recipe = {"cmbL1": 5.0, "cmbSSIM": 0.5, "smoothe": 20.0}
+    total_loss = loss_factory(data.config_keys(), recipe, cfg.SCALE_WEIGHT_T1,
+                              stereo=False)
+    tx = optimizer_factory("adam_constant", 1e-4, frozen_nets=["flownet"])
+    state = create_train_state(model, batch, tx)
+    flow_before = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(),
+                                         state.params["flownet"])
+    step = make_train_step(model, total_loss)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert "loss/cmbL1" in metrics
+    same = jax.tree_util.tree_map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        flow_before, state.params["flownet"])
+    assert all(jax.tree_util.tree_leaves(same))
+
+
+def test_flow_only_stage_with_regularizer(joint_parts):
+    """LOSS_FLOW stage: flowL2 + flow_reg over flownet weights
+    (config-example.py:110-113)."""
+    data, model, batch = joint_parts
+    recipe = dict(cfg.LOSS_FLOW)
+    total_loss = loss_factory(data.config_keys(), recipe, cfg.SCALE_WEIGHT_T1,
+                              stereo=False)
+    tx = optimizer_factory("adam_constant", 1e-4)
+    state = create_train_state(model, batch, tx)
+    step = make_train_step(model, total_loss, regularize_net="flownet")
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert "loss/flowL2" in metrics and "loss/flow_reg" in metrics
+    assert float(metrics["loss/flow_reg"]) > 0
