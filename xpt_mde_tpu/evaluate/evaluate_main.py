@@ -1,0 +1,184 @@
+"""Prediction + evaluation drivers.
+
+Re-designs /root/reference/model/model_main.py:132-160 (predict) and
+/root/reference/evaluate/evaluate_main.py (evaluate):
+
+- ``predict_dataset``: run the model over a test loader, accumulate
+  {image, depth, pose, intrinsic, *_gt} as numpy (model_wrappers.py:18-39)
+  and save one ``.npz`` per (dataset, ckpt) under DATAPATH_PRD with
+  PathManager atomicity (model_main.py:144-160);
+- ``evaluate_by_plan``: per TEST_PLAN row load predictions, run depth
+  and/or pose eval, write per-frame txt + summary csv under DATAPATH_EVL,
+  then merge all summaries into merged_result.csv
+  (evaluate_main.py:13-101).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from xpt_mde_tpu.config import Config
+from xpt_mde_tpu.evaluate.depth_metrics import (DEPTH_METRIC_NAMES,
+                                                compute_depth_metrics,
+                                                valid_depth_filter)
+from xpt_mde_tpu.evaluate.pose_metrics import PoseMetric
+from xpt_mde_tpu.utils.util_class import PathManager
+
+
+def predict_dataset(model, state, loader, predict_step) -> dict:
+    """Accumulate predictions over a dataset (model_wrappers.py:18-39)."""
+    import jax.numpy as jnp
+
+    outputs: dict[str, list] = {}
+
+    def append(key, val):
+        outputs.setdefault(key, []).append(np.asarray(val))
+
+    for features in loader:
+        feats = {k: jnp.asarray(v) for k, v in features.items()}
+        preds = predict_step(state, feats)
+        image = np.asarray(feats["image5d"][:, -1])
+        append("image", ((np.clip(image, -1, 1) + 1) / 2 * 255).astype(np.uint8))
+        if "depth_ms" in preds:
+            append("depth", preds["depth_ms"][0])
+            append("intrinsic", feats["intrinsic"])
+            if "depth_gt" in feats:
+                append("depth_gt", feats["depth_gt"])
+        if "pose" in preds:
+            append("pose", preds["pose"])
+            if "pose_gt" in feats:
+                append("pose_gt", feats["pose_gt"])
+    return {k: np.concatenate(v, axis=0) for k, v in outputs.items() if v}
+
+
+def save_predictions(results: dict, pred_dir, name: str):
+    """np.savez under an atomic directory (model_main.py:144-160)."""
+    pred_dir = Path(pred_dir)
+    with PathManager(pred_dir) as pm:
+        np.savez(pred_dir / f"{name}.npz", **results)
+        pm.set_ok()
+    print(f"[save_predictions] saved {pred_dir / (name + '.npz')}")
+
+
+def evaluate_depth_results(results: dict, min_depth=1e-3, max_depth=80.0):
+    """Per-frame Eigen metrics -> [N, 7] array (evaluate_main.py:65-78)."""
+    depth_pred = results["depth"]
+    depth_gt = results["depth_gt"]
+    rows = []
+    for i in range(depth_pred.shape[0]):
+        gt_i = np.squeeze(depth_gt[i])
+        if (gt_i > min_depth).sum() < 10:
+            continue  # skip frames without GT coverage
+        pred, gt = valid_depth_filter(depth_pred[i], gt_i, min_depth, max_depth)
+        rows.append(compute_depth_metrics(pred, gt))
+    return np.array(rows)
+
+
+def evaluate_pose_results(results: dict):
+    """Snippet pose errors -> [N, 3] (trj_abs, trj_rel, rot)
+    (evaluate_main.py:44-62)."""
+    metric = PoseMetric().compute_pose_errors(results["pose"],
+                                              results["pose_gt"])
+    return np.stack([metric.trj_abs_err.mean(axis=1),
+                     metric.trj_rel_err.mean(axis=1),
+                     metric.rot_err.mean(axis=1)], axis=1)
+
+
+def evaluate_npz(npz_path, eval_dir, name: str) -> dict:
+    """Evaluate one saved prediction file; write per-frame + summary csv."""
+    results = dict(np.load(npz_path))
+    eval_dir = Path(eval_dir)
+    summary = {}
+    with PathManager(eval_dir) as pm:
+        if "depth" in results and "depth_gt" in results:
+            depth_rows = evaluate_depth_results(results)
+            header = ",".join(DEPTH_METRIC_NAMES)
+            np.savetxt(eval_dir / f"depth_eval_{name}.csv", depth_rows,
+                       delimiter=",", header=header, comments="")
+            summary.update(dict(zip(DEPTH_METRIC_NAMES,
+                                    depth_rows.mean(axis=0))))
+        if "pose" in results and "pose_gt" in results:
+            pose_rows = evaluate_pose_results(results)
+            np.savetxt(eval_dir / f"pose_eval_{name}.csv", pose_rows,
+                       delimiter=",",
+                       header="trj_abs_err,trj_rel_err,rot_err", comments="")
+            summary.update({"trj_abs_err": pose_rows[:, 0].mean(),
+                            "trj_rel_err": pose_rows[:, 1].mean(),
+                            "rot_err": pose_rows[:, 2].mean()})
+        lines = ["metric,value"] + [f"{k},{v}" for k, v in summary.items()]
+        (eval_dir / f"summary_{name}.csv").write_text("\n".join(lines) + "\n")
+        pm.set_ok()
+    return summary
+
+
+def merge_eval_results(evl_root) -> Path:
+    """Collect all summary csvs into merged_result.csv
+    (evaluate_main.py:87-101)."""
+    evl_root = Path(evl_root)
+    rows = []
+    for summary in sorted(evl_root.glob("*/summary_*.csv")):
+        name = summary.parent.name + "/" + summary.stem
+        for line in summary.read_text().splitlines()[1:]:
+            metric, value = line.split(",")
+            rows.append(f"{name},{metric},{value}")
+    out = evl_root / "merged_result.csv"
+    out.write_text("name,metric,value\n" + "\n".join(rows) + "\n")
+    return out
+
+
+def predict_by_plan(cfg: Config, dataset_factory=None) -> None:
+    """Walk TEST_PLAN: build model, load ckpt, predict, save npz
+    (model_main.py:132-160)."""
+    from xpt_mde_tpu.models import ModelFactory
+    from xpt_mde_tpu.training.checkpoint import CheckpointManager
+    from xpt_mde_tpu.training.train_step import (create_train_state,
+                                                 make_predict_step)
+    from xpt_mde_tpu.training.optimizers import optimizer_factory
+    from xpt_mde_tpu.training.trainer import default_dataset_factory
+    import jax.numpy as jnp
+
+    dataset_factory = dataset_factory or default_dataset_factory(cfg)
+    for stage in cfg.test_plan:
+        out_dir = Path(cfg.datapath_prd) / stage.ckpt_name
+        out_file = out_dir / f"{stage.dataset}_{stage.weight_suffix}.npz"
+        if out_file.exists():
+            print(f"[predict_by_plan] exists, skip: {out_file}")
+            continue
+        loader = dataset_factory(stage.dataset, "test", cfg.batch_size)
+        keys = loader.config_keys() if hasattr(loader, "config_keys") else \
+            loader.ds.keys()
+        model = ModelFactory(keys, stage.net_names, cfg.depth_activation,
+                             stereo=cfg.stereo, high_res=cfg.high_res,
+                             compute_dtype=cfg.compute_dtype).get_model()
+        batch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
+        tx = optimizer_factory(cfg.optimizer, 1e-4)
+        state = create_train_state(model, batch, tx)
+        ckpt = CheckpointManager(Path(cfg.datapath_ckp) / stage.ckpt_name)
+        state, loaded = ckpt.restore_params(state, stage.weight_suffix)
+        if not loaded:
+            print(f"[predict_by_plan] no weights for {stage.ckpt_name}, skip")
+            continue
+        predict_step = make_predict_step(model)
+        results = predict_dataset(model, state, loader, predict_step)
+        save_predictions(results, out_dir,
+                         f"{stage.dataset}_{stage.weight_suffix}")
+
+
+def evaluate_by_plan(cfg: Config) -> None:
+    """Walk TEST_PLAN over saved predictions (evaluate_main.py:13-41)."""
+    for stage in cfg.test_plan:
+        npz = (Path(cfg.datapath_prd) / stage.ckpt_name
+               / f"{stage.dataset}_{stage.weight_suffix}.npz")
+        if not npz.exists():
+            print(f"[evaluate_by_plan] no predictions: {npz}")
+            continue
+        eval_dir = Path(cfg.datapath_evl) / stage.ckpt_name
+        if (eval_dir / f"summary_{stage.dataset}_{stage.weight_suffix}.csv").exists():
+            print(f"[evaluate_by_plan] exists, skip: {eval_dir}")
+            continue
+        summary = evaluate_npz(npz, eval_dir,
+                               f"{stage.dataset}_{stage.weight_suffix}")
+        print(f"[evaluate_by_plan] {stage.ckpt_name}: {summary}")
+    merge_eval_results(cfg.datapath_evl)
