@@ -183,3 +183,32 @@ def test_schema_enforcement(tmp_path):
         with pytest.raises(Exception):
             w.write({"a": np.zeros((3, 3), np.float32)})  # strike out
     assert w.count == 1
+
+
+def test_shard_maker_and_validation(kitti_tree, tmp_path):
+    """Full conversion driver: drives -> atomic shard dir -> val split
+    (create_tfrecords_main.py + validation_maker.py capability)."""
+    from xpt_mde_tpu.config import Config
+    from xpt_mde_tpu.data.shard_maker import (ShardMaker,
+                                              generate_validation_shards)
+
+    cfg = Config(datapath=str(tmp_path), validation_frames=3,
+                 image_size_overrides={"kitti_raw": (32, 96)})
+
+    maker = ShardMaker(cfg, "kitti_raw", "train", kitti_tree,
+                       data_keys=["image", "intrinsic", "depth_gt",
+                                  "pose_gt", "stereo_T_LR"],
+                       drives=[(DATE, DRIVE)])
+    out = maker.make()
+    assert out.exists() and (out / "shard_config.json").exists()
+    ds = ShardDataset(out)
+    assert len(ds) >= 4
+
+    # idempotent re-run skips
+    assert maker.make() == out
+
+    val_dir = generate_validation_shards(cfg, "kitti_raw")
+    val_ds = ShardDataset(val_dir)
+    assert len(val_ds) == 3
+    ex = val_ds.read_example(0)
+    assert ex["image"].shape == (5 * 32, 96, 3)

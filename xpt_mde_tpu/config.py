@@ -210,9 +210,17 @@ class Config:
     # spatial/model sharding if ever needed (SURVEY.md section 2.7)
     mesh_shape: Mapping[str, int] = field(default_factory=lambda: {"data": 1})
 
+    # per-dataset (H, W) overrides on top of the low/high-res tables
+    image_size_overrides: Mapping[str, tuple] = field(default_factory=dict)
+
     @property
     def image_sizes(self) -> Mapping[str, tuple[int, int]]:
-        return IMAGE_SIZES_LARGE if self.high_res else IMAGE_SIZES_SMALL
+        base = IMAGE_SIZES_LARGE if self.high_res else IMAGE_SIZES_SMALL
+        if not self.image_size_overrides:
+            return base
+        merged = dict(base)
+        merged.update({k: tuple(v) for k, v in self.image_size_overrides.items()})
+        return merged
 
     @property
     def batch_size(self) -> int:
