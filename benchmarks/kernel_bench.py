@@ -1,0 +1,113 @@
+"""Kernel microbenchmarks on the real TPU chip.
+
+Tracks the BASELINE.md microbenchmark line items: warp+photometric-loss
+time and correlation cost volume (XLA vs Pallas). Prints one JSON line
+per benchmark. Run directly on the TPU host:
+
+    python benchmarks/kernel_bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, warmup=2, iters=20) -> float:
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def report(name, seconds, extra=None):
+    entry = {"metric": name, "value": round(seconds * 1e6, 1), "unit": "us"}
+    if extra:
+        entry.update(extra)
+    print(json.dumps(entry))
+
+
+def bench_warp_photometric():
+    """Fused multi-scale synthesis + L1+SSIM photometric loss, the
+    geometry hot path (BASELINE.md microbenchmark)."""
+    from xpt_mde_tpu.losses.photometric import (photometric_loss_l1,
+                                                photometric_loss_ssim)
+    from xpt_mde_tpu.ops.synthesize import synthesize_multi_scale
+    from xpt_mde_tpu.utils.image import multi_scale_like, resize_image
+
+    rng = np.random.RandomState(0)
+    batch, numsrc, h, w = 8, 4, 128, 512
+    sources = jnp.asarray(rng.rand(batch, numsrc, h, w, 3).astype(np.float32))
+    target = jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32))
+    k = jnp.asarray(np.tile(np.array([[358, 0, 256], [0, 370, 64], [0, 0, 1]],
+                                     np.float32), (batch, 1, 1)))
+    depth_ms = [jnp.asarray(rng.uniform(2, 60, (batch, h // s, w // s, 1))
+                            .astype(np.float32)) for s in (1, 2, 4, 8)]
+    twist = jnp.asarray(rng.uniform(-0.05, 0.05, (batch, numsrc, 6))
+                        .astype(np.float32))
+
+    @jax.jit
+    def warp_loss(sources, k, depth_ms, twist, target):
+        synth_ms = synthesize_multi_scale(sources, k, depth_ms, twist)
+        target_ms = multi_scale_like(target, depth_ms)
+        loss = 0.0
+        for s, t in zip(synth_ms, target_ms):
+            loss += jnp.sum(photometric_loss_l1(s, t))
+            loss += jnp.sum(photometric_loss_ssim(s, t))
+        return loss
+
+    dt = timeit(warp_loss, sources, k, depth_ms, twist, target)
+    report("warp_photometric_4scale_b8_128x512", dt)
+
+
+def bench_correlation():
+    from xpt_mde_tpu.ops.correlation import correlation_cost
+    from xpt_mde_tpu.ops.pallas.correlation import correlation_cost_pallas
+
+    rng = np.random.RandomState(1)
+    # PWC level-2 workload: the largest correlation in the net
+    b, h, w, c = 4, 32, 128, 32
+    cl = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+    cr = jnp.asarray(rng.rand(b, h, w, c).astype(np.float32))
+    md, stride = 32, 8
+
+    xla_fn = jax.jit(lambda a, b_: correlation_cost(a, b_, md, stride))
+    dt_xla = timeit(xla_fn, cl, cr)
+    report("correlation_xla_b4_32x128x32_md32", dt_xla)
+
+    pal_fn = jax.jit(lambda a, b_: correlation_cost_pallas(a, b_, md, stride))
+    dt_pal = timeit(pal_fn, cl, cr)
+    report("correlation_pallas_b4_32x128x32_md32", dt_pal,
+           {"speedup_vs_xla": round(dt_xla / dt_pal, 2)})
+
+
+def bench_bilinear_warp():
+    from xpt_mde_tpu.ops.warp import bilinear_sample
+
+    rng = np.random.RandomState(2)
+    b, n, h, w = 8, 4, 128, 512
+    image = jnp.asarray(rng.rand(b, n, h, w, 3).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(0, w - 1, (b, n, 2, h * w))
+                         .astype(np.float32))
+    fn = jax.jit(bilinear_sample)
+    dt = timeit(fn, image, coords)
+    report("bilinear_warp_xla_b8x4_128x512", dt)
+
+
+if __name__ == "__main__":
+    bench_bilinear_warp()
+    bench_warp_photometric()
+    bench_correlation()

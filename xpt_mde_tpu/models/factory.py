@@ -131,6 +131,9 @@ class ModelFactory:
 
     def flow_net_factory(self, net_name: str) -> nn.Module:
         if net_name == "PWCNet":
+            import jax
+
             from xpt_mde_tpu.models.flow_net import PWCNet
-            return PWCNet(dtype=self.dtype)
+            use_pallas = jax.default_backend() not in ("cpu",)
+            return PWCNet(dtype=self.dtype, use_pallas=use_pallas)
         raise ValueError(f"wrong flow net name: {net_name}")

@@ -89,13 +89,18 @@ class ContextNetwork(nn.Module):
 
 class PWCNet(nn.Module):
     dtype: Any = jnp.float32
+    use_pallas: bool = False  # Pallas correlation kernel (TPU only)
 
     def _corr(self, cl, cr, p):
         md = MAX_DISPLACEMENT // 2 ** p
         stride = max(md // 4, 1)
-        corr = correlation_cost(cl.astype(self.dtype), cr.astype(self.dtype),
+        if self.use_pallas:
+            from xpt_mde_tpu.ops.pallas.correlation import \
+                correlation_cost_pallas
+            return correlation_cost_pallas(cl.astype(self.dtype),
+                                           cr.astype(self.dtype), md, stride)
+        return correlation_cost(cl.astype(self.dtype), cr.astype(self.dtype),
                                 md, stride)
-        return corr
 
     @nn.compact
     def __call__(self, image5d, train: bool = False):
