@@ -212,3 +212,32 @@ def test_shard_maker_and_validation(kitti_tree, tmp_path):
     assert len(val_ds) == 3
     ex = val_ds.read_example(0)
     assert ex["image"].shape == (5 * 32, 96, 3)
+
+
+def test_native_loader_matches_numpy(kitti_tree, tmp_path):
+    """C++ shard reader must produce byte-identical batches to the numpy
+    path (same shuffle seed)."""
+    from xpt_mde_tpu.config import Config
+    from xpt_mde_tpu.data.native_loader import (NativeDatasetLoader,
+                                                PrefetchLoader, make_loader)
+    from xpt_mde_tpu.data.shard_maker import ShardMaker
+
+    cfg = Config(datapath=str(tmp_path),
+                 image_size_overrides={"kitti_raw": (32, 96)})
+    out = ShardMaker(cfg, "kitti_raw", "train", kitti_tree,
+                     data_keys=["image", "intrinsic", "depth_gt", "pose_gt"],
+                     drives=[(DATE, DRIVE)]).make()
+
+    np_loader = DatasetLoader(ShardDataset(out), batch_size=2, shuffle=True,
+                              seed=3)
+    nat_loader = NativeDatasetLoader(out, batch_size=2, shuffle=True, seed=3)
+    for np_batch, nat_batch in zip(np_loader, nat_loader):
+        assert set(np_batch.keys()) == set(nat_batch.keys())
+        for key in np_batch:
+            assert np.allclose(np_batch[key], nat_batch[key], atol=1e-6), key
+
+    # prefetch wrapper yields the same stream
+    pre = PrefetchLoader(NativeDatasetLoader(out, batch_size=2, shuffle=True,
+                                             seed=3))
+    n = sum(1 for _ in pre)
+    assert n == np_loader.steps_per_epoch

@@ -1,0 +1,217 @@
+"""ctypes bridge to the native shard reader + prefetching loader.
+
+Builds xpt_mde_tpu/data/native/shard_reader.cpp into a cached shared
+object on first use (g++, no external deps) and exposes:
+
+- ``NativeShardReader``: mmap-backed multithreaded batch gather +
+  uint8->float image decode (the host-side hot loop in C++);
+- ``PrefetchLoader``: wraps any loader with a background thread and a
+  bounded queue so host batch assembly overlaps device compute -- the
+  overlap the reference never had (it synced per step,
+  train_val.py:159 / SURVEY.md hard part #5).
+
+Falls back to the pure-numpy path when the toolchain is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import queue
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from xpt_mde_tpu.data.shard_io import MAGIC, DatasetLoader, ShardDataset
+
+_NATIVE_DIR = Path(__file__).resolve().parent / "native"
+_SO_PATH = _NATIVE_DIR / "libshardreader.so"
+_lib = None
+_lib_failed = False
+
+
+def _load_library():
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    try:
+        src = _NATIVE_DIR / "shard_reader.cpp"
+        if (not _SO_PATH.exists()
+                or _SO_PATH.stat().st_mtime < src.stat().st_mtime):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                 "-o", str(_SO_PATH), str(src), "-lpthread"],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(str(_SO_PATH))
+        lib.sr_open.restype = ctypes.c_void_p
+        lib.sr_open.argtypes = [ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                                ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
+        lib.sr_num_records.restype = ctypes.c_int64
+        lib.sr_num_records.argtypes = [ctypes.c_void_p]
+        lib.sr_read_batch.restype = ctypes.c_int
+        lib.sr_read_batch.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_int64),
+                                      ctypes.c_int64, ctypes.c_void_p]
+        lib.sr_decode_images.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                         ctypes.c_int64, ctypes.c_int]
+        lib.sr_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    except Exception as e:  # toolchain missing -> numpy fallback
+        print(f"[native_loader] native build unavailable ({e}); "
+              "using numpy reader")
+        _lib_failed = True
+    return _lib
+
+
+class NativeShardReader:
+    """mmap + multithreaded gather over a shard directory."""
+
+    def __init__(self, shard_dir, num_threads: int = 8):
+        lib = _load_library()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self.lib = lib
+        self.ds = ShardDataset(shard_dir)  # schema + length bookkeeping
+        paths = sorted(Path(shard_dir).glob("shard_*.vrec"))
+        arr = (ctypes.c_char_p * len(paths))(
+            *[str(p).encode() for p in paths])
+        self.handle = lib.sr_open(arr, len(paths),
+                                  self.ds.record_nbytes, len(MAGIC),
+                                  num_threads)
+        if not self.handle:
+            raise RuntimeError(f"sr_open failed for {shard_dir}")
+        assert lib.sr_num_records(self.handle) == len(self.ds)
+        # per-key (offset, nbytes, dtype, shape) in record order
+        self.layout = {}
+        pos = 0
+        for key in sorted(self.ds.schema.keys()):
+            spec = self.ds.schema[key]
+            dt = np.dtype(spec["dtype"])
+            nbytes = int(dt.itemsize * np.prod(spec["shape"], dtype=np.int64))
+            self.layout[key] = (pos, nbytes, dt, tuple(spec["shape"]))
+            pos += nbytes
+
+    def __len__(self):
+        return len(self.ds)
+
+    def read_batch(self, indices: np.ndarray) -> dict:
+        n = len(indices)
+        idx = np.ascontiguousarray(indices, np.int64)
+        out = np.empty((n, self.ds.record_nbytes), np.uint8)
+        rc = self.lib.sr_read_batch(
+            self.handle, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, out.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            raise IndexError("sr_read_batch failed")
+        batch = {}
+        for key, (off, nbytes, dt, shape) in self.layout.items():
+            field = np.ascontiguousarray(out[:, off:off + nbytes])
+            if key.startswith("image"):
+                dec = np.empty(field.size, np.float32)
+                self.lib.sr_decode_images(
+                    field.ctypes.data_as(ctypes.c_void_p),
+                    dec.ctypes.data_as(ctypes.c_void_p), field.size, 8)
+                batch[key] = dec.reshape((n,) + shape)
+            else:
+                batch[key] = field.view(dt).reshape((n,) + shape)
+        return batch
+
+    def close(self):
+        if getattr(self, "handle", None):
+            self.lib.sr_close(self.handle)
+            self.handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeDatasetLoader(DatasetLoader):
+    """DatasetLoader with the gather + decode in native code."""
+
+    def __init__(self, shard_dir, batch_size: int, snippet_len: int = 5,
+                 shuffle: bool = True, seed: int = 0, num_threads: int = 8):
+        self.native = NativeShardReader(shard_dir, num_threads)
+        super().__init__(self.native.ds, batch_size, snippet_len, shuffle,
+                         seed)
+
+    def config_keys(self):
+        return self.ds.keys()
+
+    def __iter__(self):
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(order)
+        self.epoch += 1
+        for start in range(0, self.steps_per_epoch * self.batch_size,
+                           self.batch_size):
+            idxs = order[start:start + self.batch_size]
+            raw = self.native.read_batch(idxs)
+            feats = {}
+            for key, val in raw.items():
+                if key.startswith("image"):
+                    sfx = key[5:]
+                    b, sh, w, c = val.shape
+                    s = self.snippet_len
+                    feats["image5d" + sfx] = val.reshape(b, s, sh // s, w, c)
+                elif key.startswith("depth_gt") and val.ndim == 3:
+                    feats[key] = val[..., None]
+                else:
+                    feats[key] = val
+            yield feats
+
+
+class PrefetchLoader:
+    """Wrap any iterable loader with a background producer thread."""
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __getattr__(self, name):
+        return getattr(self.loader, name)
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+        err: list = []
+
+        def producer():
+            try:
+                for item in self.loader:
+                    q.put(item)
+            except Exception as e:  # propagate to consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()
+        if err:
+            raise err[0]
+
+
+def make_loader(shard_dir, batch_size: int, snippet_len: int = 5,
+                shuffle: bool = True, seed: int = 0,
+                prefetch: int = 2):
+    """Best-available loader: native + prefetch, else numpy."""
+    try:
+        loader = NativeDatasetLoader(shard_dir, batch_size, snippet_len,
+                                     shuffle, seed)
+    except Exception as e:
+        print(f"[make_loader] native loader unavailable ({e}); numpy path")
+        loader = DatasetLoader(ShardDataset(shard_dir), batch_size,
+                               snippet_len, shuffle, seed)
+    if prefetch > 0:
+        return PrefetchLoader(loader, prefetch)
+    return loader

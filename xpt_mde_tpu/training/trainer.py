@@ -44,13 +44,14 @@ from xpt_mde_tpu.utils.util_class import DurationTime
 
 
 def default_dataset_factory(cfg: Config):
-    """Open shard datasets from cfg.datapath_shd."""
-    from xpt_mde_tpu.data.shard_io import DatasetLoader, ShardDataset
+    """Open shard datasets from cfg.datapath_shd with the native reader +
+    prefetch thread when available (host IO overlaps device compute)."""
+    from xpt_mde_tpu.data.native_loader import make_loader
 
     def factory(dataset_name: str, split: str, batch_size: int):
-        ds = ShardDataset(Path(cfg.datapath_shd) / f"{dataset_name}_{split}")
-        return DatasetLoader(ds, batch_size, cfg.snippet_len,
-                             shuffle=(split == "train"))
+        return make_loader(Path(cfg.datapath_shd) / f"{dataset_name}_{split}",
+                           batch_size, cfg.snippet_len,
+                           shuffle=(split == "train"))
     return factory
 
 
