@@ -56,3 +56,28 @@ def test_predict_and_evaluate(tmp_path):
     # idempotency: second run skips cleanly
     predict_by_plan(cfg, synthetic_factory)
     evaluate_by_plan(cfg)
+
+
+@pytest.mark.slow
+def test_debug_evaluator_and_viz(tmp_path):
+    """Debug evaluator + comparison panels over saved predictions."""
+    plan = [TrainStage(NETS, "synthetic", 1, 1e-4, {"L1": 1.0}, SW, True)]
+    test_plan = [TestStage(NETS, "synthetic", ["depth", "pose"], "test01",
+                           "latest")]
+    cfg = Config(stereo=False, per_replica_batch=2, compute_dtype="float32",
+                 augment_probs={}, datapath=str(tmp_path), ckpt_name="test01",
+                 training_plan=plan, test_plan=test_plan)
+    train_by_plan(cfg, synthetic_factory)
+    predict_by_plan(cfg, synthetic_factory)
+    npz = Path(cfg.datapath_prd) / "test01" / "synthetic_latest.npz"
+
+    from xpt_mde_tpu.evaluate.evaluate_debug import evaluate_for_debug
+    out = evaluate_for_debug(npz, tmp_path / "debug", worst_n=2)
+    assert len(out["rows"]) == 4
+    assert "abs_rel" in out["worst"]
+    assert (tmp_path / "debug" / "debug_metrics.csv").exists()
+    assert len(list((tmp_path / "debug").glob("worst_abs_rel/*.png"))) == 2
+
+    from xpt_mde_tpu.evaluate.visualize import compare_depths
+    compare_depths(npz, tmp_path / "cmp", stride=2)
+    assert len(list((tmp_path / "cmp").glob("*.png"))) == 2
