@@ -67,7 +67,8 @@ def test_depthnet_efficientnet_b0():
     _check_depth_pose_shapes(preds)
 
 
-@pytest.mark.parametrize("backbone", ["ResNet50V2", "MobileNetV2", "VGG16"])
+@pytest.mark.parametrize("backbone", ["ResNet50V2", "MobileNetV2", "VGG16",
+                                      "DenseNet121", "Xception"])
 def test_other_backbones_build(backbone):
     factory = ModelFactory(["image", "intrinsic"],
                            {"depth": backbone, "camera": "PoseNetImproved"},
@@ -105,3 +106,12 @@ def test_high_res_posenet_builds():
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     preds = model.apply(variables, x, train=False)
     assert preds["pose"].shape == (1, 4, 6)
+
+
+def test_posenet_pretrained():
+    factory = ModelFactory(["image", "intrinsic"],
+                           {"depth": "DepthNetBasic", "camera": "MobileNetV2"},
+                           stereo=False)
+    model = factory.get_model()
+    preds = _init_and_run(model, _features(), train=True)
+    assert preds["pose"].shape == (B, S - 1, 6)

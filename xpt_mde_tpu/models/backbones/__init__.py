@@ -12,6 +12,8 @@ from xpt_mde_tpu.models.backbones.efficientnet import EfficientNet
 from xpt_mde_tpu.models.backbones.resnet import ResNet50V2
 from xpt_mde_tpu.models.backbones.mobilenet import MobileNetV2
 from xpt_mde_tpu.models.backbones.vgg import VGG16
+from xpt_mde_tpu.models.backbones.densenet import DenseNet121
+from xpt_mde_tpu.models.backbones.xception import Xception
 
 
 def backbone_factory(net_name: str, dtype):
@@ -24,10 +26,15 @@ def backbone_factory(net_name: str, dtype):
         return MobileNetV2(dtype=dtype)
     if net_name == "VGG16":
         return VGG16(dtype=dtype)
+    if net_name == "DenseNet121":
+        return DenseNet121(dtype=dtype)
+    if net_name == "Xception":
+        return Xception(dtype=dtype)
     raise ValueError(f"unknown backbone: {net_name}")
 
 
 BACKBONE_NAMES = ["EfficientNetB0", "EfficientNetB1", "EfficientNetB2",
                   "EfficientNetB3", "EfficientNetB4", "EfficientNetB5",
                   "EfficientNetB6", "EfficientNetB7",
-                  "ResNet50V2", "MobileNetV2", "VGG16"]
+                  "ResNet50V2", "MobileNetV2", "VGG16",
+                  "DenseNet121", "Xception"]

@@ -127,6 +127,10 @@ class ModelFactory:
             return pn.PoseNetImproved(self.high_res, dtype=self.dtype)
         if net_name == "PoseNetDeep":
             return pn.PoseNetDeep(self.high_res, dtype=self.dtype)
+        if net_name in BACKBONE_NAMES:
+            backbone = backbone_factory(net_name, self.dtype)
+            return pn.PoseNetPreTrained(backbone, self.high_res,
+                                        dtype=self.dtype)
         raise ValueError(f"wrong pose net name: {net_name}")
 
     def flow_net_factory(self, net_name: str) -> nn.Module:

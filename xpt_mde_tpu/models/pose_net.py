@@ -94,3 +94,31 @@ class PoseNetDeep(nn.Module):
         poses = Conv(numsrc * 6, 1, use_activation=False, dtype=self.dtype)(x)
         poses = jnp.mean(poses.astype(jnp.float32), axis=(1, 2))
         return {"pose": poses.reshape(-1, numsrc, 6)}
+
+
+class PoseNetPreTrained(nn.Module):
+    """Backbone-encoded pose net (pose_net.py:136-155): a multi-scale
+    backbone consumes the channel-stacked snippet, then the Improved
+    tail predicts the twists."""
+
+    backbone: nn.Module
+    high_res: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, image5d, train: bool = False):
+        numsrc = image5d.shape[1] - 1
+        x = restack_on_channels(image5d).astype(self.dtype)
+        feats = self.backbone(x, train=train)
+        x = feats[-1]  # stride-32 features
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = Conv(256, 3, dtype=self.dtype)(x)
+        x = Conv(128, 1, dtype=self.dtype)(x)
+        x = Conv(256, 3, dtype=self.dtype)(x)
+        if self.high_res:
+            x = Conv(512, 3, 2, dtype=self.dtype)(x)
+            x = Conv(512, 3, dtype=self.dtype)(x)
+            x = Conv(512, 3, dtype=self.dtype)(x)
+        poses = Conv(numsrc * 6, 1, use_activation=False, dtype=self.dtype)(x)
+        poses = jnp.mean(poses.astype(jnp.float32), axis=(1, 2))
+        return {"pose": poses.reshape(-1, numsrc, 6)}
