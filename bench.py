@@ -27,7 +27,7 @@ import numpy as np
 
 TF2_GPU_IMAGES_PER_SEC_ESTIMATE = 8.0
 
-BATCH = 8
+BATCH = int(__import__("os").environ.get("BENCH_BATCH", 8))
 HEIGHT, WIDTH = 128, 512
 WARMUP_STEPS = 3
 MEASURE_STEPS = 10

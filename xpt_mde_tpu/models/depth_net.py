@@ -167,7 +167,7 @@ class DepthNetPretrained(nn.Module):
     def __call__(self, image5d, train: bool = False):
         target = image5d[:, -1]
         height, width = target.shape[1:3]
-        features_ms = self.backbone(target.astype(self.dtype), train=train)
+        features_ms = self.backbone(target.astype(self.dtype), train)
         assert len(features_ms) == 5, "backbone must emit 5 scales (2..32)"
         dec = DepthDecoder(self.pred_activation, self.upsample_interp,
                            resize_to_skip=False, dtype=self.dtype)

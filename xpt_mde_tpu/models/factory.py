@@ -81,7 +81,8 @@ class ModelFactory:
                  depth_activation: str = "InverseSigmoid",
                  stereo: bool = True, high_res: bool = False,
                  upsample_interp: str = "nearest",
-                 compute_dtype: str = "float32"):
+                 compute_dtype: str = "float32",
+                 remat_backbone: bool = False):
         self.dataset_keys = {k.replace("image5d", "image") for k in dataset_keys}
         self.net_names = dict(net_names)
         self.depth_activation = depth_activation
@@ -89,6 +90,9 @@ class ModelFactory:
         self.high_res = high_res
         self.upsample_interp = upsample_interp
         self.dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        # rematerialize backbone activations in the backward pass: trades
+        # FLOPs for HBM, the standard TPU lever for high-res batches
+        self.remat_backbone = remat_backbone
 
     def get_model(self) -> VodeModel:
         depthnet = posenet = flownet = None
@@ -116,6 +120,13 @@ class ModelFactory:
                                        dtype=self.dtype)
         if net_name in BACKBONE_NAMES:
             backbone = backbone_factory(net_name, self.dtype)
+            if self.remat_backbone:
+                cls = type(backbone)
+                kwargs = {f.name: getattr(backbone, f.name)
+                          for f in backbone.__dataclass_fields__.values()
+                          if f.name not in ("parent", "name")}
+                # `train` is a static python bool inside BatchNorm branches
+                backbone = nn.remat(cls, static_argnums=(2,))(**kwargs)
             return dn.DepthNetPretrained(backbone, activation,
                                          self.upsample_interp, dtype=self.dtype)
         raise ValueError(f"wrong depth net name: {net_name}")

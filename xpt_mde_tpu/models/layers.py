@@ -59,18 +59,15 @@ def upsample_2x(x: jnp.ndarray, method: str = "nearest") -> jnp.ndarray:
 
 
 def resize_like(x: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear resize of x's (H, W) to ref's (layer_ops.py:39-50)."""
-    if x.shape[-3:-1] == ref.shape[-3:-1]:
-        return x
-    shape = x.shape[:-3] + (ref.shape[-3], ref.shape[-2], x.shape[-1])
-    return jax.image.resize(x, shape, method="linear")
+    """Bilinear resize of x's (H, W) to ref's (layer_ops.py:39-50);
+    tf.image.resize semantics via utils.image.resize_image."""
+    from xpt_mde_tpu.utils.image import resize_image
+    return resize_image(x, ref.shape[-3], ref.shape[-2], "bilinear")
 
 
 def resize_hw(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
-    if x.shape[-3] == height and x.shape[-2] == width:
-        return x
-    shape = x.shape[:-3] + (height, width, x.shape[-1])
-    return jax.image.resize(x, shape, method="linear")
+    from xpt_mde_tpu.utils.image import resize_image
+    return resize_image(x, height, width, "bilinear")
 
 
 def restack_on_channels(image5d: jnp.ndarray) -> jnp.ndarray:

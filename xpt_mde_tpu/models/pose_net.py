@@ -109,7 +109,7 @@ class PoseNetPreTrained(nn.Module):
     def __call__(self, image5d, train: bool = False):
         numsrc = image5d.shape[1] - 1
         x = restack_on_channels(image5d).astype(self.dtype)
-        feats = self.backbone(x, train=train)
+        feats = self.backbone(x, train)
         x = feats[-1]  # stride-32 features
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = Conv(256, 3, dtype=self.dtype)(x)

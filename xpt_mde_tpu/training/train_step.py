@@ -75,8 +75,11 @@ def _compute_metrics(preds, features, loss, loss_by_type):
 
 
 def make_train_step(model, total_loss, augmenter=None,
-                    regularize_net: Optional[str] = None) -> Callable:
-    """Build the jitted train step.
+                    regularize_net: Optional[str] = None,
+                    jit: bool = True) -> Callable:
+    """Build the train step (jitted unless ``jit=False`` -- the
+    reference's "eager" TRAIN_MODE for step-through debugging,
+    config-example.py:255 / train_val.py:12).
 
     :param model: VodeModel (Flax module)
     :param total_loss: TotalLoss callable (preds, features) -> (loss, dict)
@@ -106,6 +109,8 @@ def make_train_step(model, total_loss, augmenter=None,
         metrics = _compute_metrics(preds, features, loss, loss_by_type)
         return state, metrics
 
+    if not jit:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,))
 
 

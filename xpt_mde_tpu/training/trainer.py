@@ -105,7 +105,7 @@ class StageRuntime:
         else:
             self.train_step = make_train_step(
                 self.model, self.total_loss, augmenter=self.augmenter,
-                regularize_net=reg_net)
+                regularize_net=reg_net, jit=(cfg.train_mode != "eager"))
             self._replicate = lambda s: s
         self.eval_step = make_eval_step(self.model, self.total_loss)
         self.predict_step = make_predict_step(self.model)

@@ -26,20 +26,41 @@ def to_uint8_image(float_image: jnp.ndarray) -> jnp.ndarray:
     return jnp.round((x + 1.0) / 2.0 * 255.0).astype(jnp.uint8)
 
 
+def _axis_lerp_indices(dst: int, src: int):
+    """Half-pixel-center sample positions for one axis, TF-style: lower
+    index, upper index (both clipped) and the lerp fraction."""
+    v = (jnp.arange(dst, dtype=jnp.float32) + 0.5) * (src / dst) - 0.5
+    i0 = jnp.floor(v)
+    frac = v - i0
+    lo = jnp.clip(i0, 0, src - 1).astype(jnp.int32)
+    hi = jnp.clip(i0 + 1, 0, src - 1).astype(jnp.int32)
+    return lo, hi, frac
+
+
 def resize_image(image: jnp.ndarray, height: int, width: int,
                  method: str = "bilinear") -> jnp.ndarray:
-    """Resize [..., H, W, C] to [..., height, width, C].
+    """Resize [..., H, W, C] to [..., height, width, C] with
+    tf.image.resize semantics (half-pixel centers, NO antialiasing).
 
-    jax.image.resize with align_corners=False semantics, matching
-    tf.image.resize's default half-pixel-centers behavior closely enough
-    for training parity (verified by tests against hand values).
+    jax.image.resize antialiases on downscale, which diverges from the
+    reference's tf.image.resize by up to ~0.26 on 2x downsampling --
+    enough to shift every multi-scale loss. This separable gather+lerp
+    matches TF bit-closely (tests/test_tf_parity.py).
     """
-    if image.shape[-3] == height and image.shape[-2] == width:
+    src_h, src_w = image.shape[-3], image.shape[-2]
+    if src_h == height and src_w == width:
         return image
-    out_shape = image.shape[:-3] + (height, width, image.shape[-1])
     if method == "nearest":
+        out_shape = image.shape[:-3] + (height, width, image.shape[-1])
         return jax.image.resize(image, out_shape, method="nearest")
-    return jax.image.resize(image, out_shape, method="linear")
+    y0, y1, fy = _axis_lerp_indices(height, src_h)
+    x0, x1, fx = _axis_lerp_indices(width, src_w)
+    fy = fy[:, None, None].astype(image.dtype)
+    fx = fx[:, None].astype(image.dtype)
+    rows = (jnp.take(image, y0, axis=-3) * (1 - fy)
+            + jnp.take(image, y1, axis=-3) * fy)
+    return (jnp.take(rows, x0, axis=-2) * (1 - fx)
+            + jnp.take(rows, x1, axis=-2) * fx)
 
 
 def multi_scale_like(image: jnp.ndarray, pyramid: Sequence[jnp.ndarray],
