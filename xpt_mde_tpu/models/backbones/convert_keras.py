@@ -1,0 +1,150 @@
+"""Convert keras EfficientNet weights into the Flax backbone param tree.
+
+The reference gets ImageNet initialization from tf.keras.applications
+(/root/reference/model/build_model/pretrained_nets.py); this environment
+has no network egress, but the converter lets any offline keras weight
+file (or a built keras model) initialize our native backbones --
+"pretrained backbone parity" is SURVEY.md hard part #3.
+
+Verified by tests/test_keras_conversion.py: a randomly initialized keras
+EfficientNetB0 and our Flax EfficientNet produce matching feature maps
+after conversion (keras builds architectures without downloading).
+
+Layout notes:
+- keras Conv2D kernels are [kh, kw, in, out] == flax;
+- keras DepthwiseConv2D kernels are [kh, kw, C, 1] -> flax grouped-conv
+  [kh, kw, 1, C];
+- keras BN (gamma, beta, moving_mean, moving_variance) -> flax
+  (scale, bias) params + (mean, var) batch_stats;
+- keras EfficientNet pads explicitly (ZeroPadding2D + valid conv), which
+  equals XLA SAME padding for even input sizes (all sizes here are /32
+  divisible).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_BLOCK_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _keras_weight_dict(keras_model) -> dict:
+    """{layer_name: {short_weight_name: array}} -- robust across keras 2
+    (prefixed weight names) and keras 3 (bare names)."""
+    out = {}
+    for layer in keras_model.layers:
+        weights = {}
+        for weight in layer.weights:
+            short = weight.name.split("/")[-1].split(":")[0]
+            weights[short] = np.asarray(weight)
+        if weights:
+            out[layer.name] = weights
+    return out
+
+
+def _bn(kw: dict, name: str):
+    layer = kw[name]
+    params = {"scale": layer["gamma"], "bias": layer["beta"]}
+    stats = {"mean": layer["moving_mean"], "var": layer["moving_variance"]}
+    return params, stats
+
+
+def _conv(kw: dict, name: str, depthwise: bool = False, bias: bool = False):
+    layer = kw[name]
+    key = "depthwise_kernel" if ("depthwise_kernel" in layer) else "kernel"
+    kernel = layer[key]
+    if depthwise and kernel.shape[-1] == 1:  # [kh,kw,C,1] -> [kh,kw,1,C]
+        kernel = np.transpose(kernel, (0, 1, 3, 2))
+    out = {"kernel": kernel}
+    if bias:
+        out["bias"] = layer["bias"]
+    return out
+
+
+def convert_efficientnet(keras_model, variant: str = "B0"):
+    """keras EfficientNet -> (params, batch_stats) for our EfficientNet.
+
+    :param keras_model: a tf.keras.applications.EfficientNetBx instance
+        (include_top irrelevant; weights may be None or 'imagenet')
+    :return: (params, batch_stats) dicts shaped like
+        EfficientNet(variant).init(...)['params' / 'batch_stats']
+    """
+    import math
+
+    from xpt_mde_tpu.models.backbones.efficientnet import (_B0_STAGES,
+                                                           _SCALING,
+                                                           round_repeats)
+
+    kw = _keras_weight_dict(keras_model)
+    params: dict = {}
+    stats: dict = {}
+
+    # stem
+    params["Conv_0"] = _conv(kw, "stem_conv")
+    p, s = _bn(kw, "stem_bn")
+    params["BatchNorm_0"] = p
+    stats["BatchNorm_0"] = s
+
+    _, depth_mult = _SCALING[variant]
+    mb_idx = 0
+    for stage_idx, (expand, ch, reps, stride, kernel) in enumerate(_B0_STAGES):
+        for rep in range(round_repeats(reps, depth_mult)):
+            prefix = f"block{stage_idx + 1}{_BLOCK_LETTERS[rep]}"
+            mb_params: dict = {}
+            mb_stats: dict = {}
+            conv_i = bn_i = 0
+            if expand != 1:
+                mb_params[f"Conv_{conv_i}"] = _conv(kw, f"{prefix}_expand_conv")
+                p, s = _bn(kw, f"{prefix}_expand_bn")
+                mb_params[f"BatchNorm_{bn_i}"] = p
+                mb_stats[f"BatchNorm_{bn_i}"] = s
+                conv_i += 1
+                bn_i += 1
+            mb_params[f"Conv_{conv_i}"] = _conv(kw, f"{prefix}_dwconv",
+                                                depthwise=True)
+            p, s = _bn(kw, f"{prefix}_bn")
+            mb_params[f"BatchNorm_{bn_i}"] = p
+            mb_stats[f"BatchNorm_{bn_i}"] = s
+            conv_i += 1
+            bn_i += 1
+            mb_params["SqueezeExcite_0"] = {
+                "Conv_0": _conv(kw, f"{prefix}_se_reduce", bias=True),
+                "Conv_1": _conv(kw, f"{prefix}_se_expand", bias=True),
+            }
+            mb_params[f"Conv_{conv_i}"] = _conv(kw, f"{prefix}_project_conv")
+            p, s = _bn(kw, f"{prefix}_project_bn")
+            mb_params[f"BatchNorm_{bn_i}"] = p
+            mb_stats[f"BatchNorm_{bn_i}"] = s
+
+            params[f"MBConv_{mb_idx}"] = mb_params
+            stats[f"MBConv_{mb_idx}"] = mb_stats
+            mb_idx += 1
+
+    return params, stats
+
+
+def load_into_variables(variables, params, batch_stats):
+    """Graft converted (params, batch_stats) into an init()'d variables
+    tree, asserting shape agreement leaf by leaf."""
+    import jax
+
+    def merge(dst, src, path=""):
+        out = dict(dst)
+        for key, val in src.items():
+            if key not in dst:
+                raise KeyError(f"converted key missing in model: {path}/{key}")
+            if isinstance(val, dict):
+                out[key] = merge(dst[key], val, f"{path}/{key}")
+            else:
+                if tuple(dst[key].shape) != tuple(val.shape):
+                    raise ValueError(
+                        f"shape mismatch at {path}/{key}: "
+                        f"{dst[key].shape} vs {val.shape}")
+                out[key] = jax.numpy.asarray(val, dst[key].dtype)
+        return out
+
+    new_vars = dict(variables)
+    new_vars["params"] = merge(variables["params"], params)
+    if batch_stats and "batch_stats" in variables:
+        new_vars["batch_stats"] = merge(variables["batch_stats"], batch_stats)
+    return new_vars

@@ -130,3 +130,38 @@ def snapshot_config(ckpt_dir, config_dict: dict):
     else:
         path.parent.mkdir(parents=True, exist_ok=True)
         path.write_text(json.dumps(config_dict, indent=2, default=str))
+
+
+def load_pretrained_backbone(state, pretrained_path):
+    """Graft converted ImageNet backbone weights (see
+    scripts/convert_backbone_weights.py) into the depthnet's backbone
+    subtree. Returns the updated state, or the original if the file is
+    missing/incompatible."""
+    path = Path(pretrained_path)
+    if not path.is_file():
+        return state, False
+    if "depthnet" not in state.params or \
+            "backbone" not in state.params["depthnet"]:
+        return state, False
+    import flax
+
+    try:
+        target = {"params": state.params["depthnet"]["backbone"]}
+        if state.batch_stats is not None and \
+                "backbone" in state.batch_stats.get("depthnet", {}):
+            target["batch_stats"] = state.batch_stats["depthnet"]["backbone"]
+        restored = flax.serialization.from_bytes(target, path.read_bytes())
+    except Exception as e:
+        print(f"[ckpt] pretrained backbone incompatible ({e})")
+        return state, False
+    params = dict(state.params)
+    params["depthnet"] = dict(params["depthnet"])
+    params["depthnet"]["backbone"] = restored["params"]
+    state = state.replace(params=params)
+    if "batch_stats" in restored and state.batch_stats is not None:
+        bs = dict(state.batch_stats)
+        bs["depthnet"] = dict(bs["depthnet"])
+        bs["depthnet"]["backbone"] = restored["batch_stats"]
+        state = state.replace(batch_stats=bs)
+    print(f"[ckpt] loaded pretrained backbone from {path}")
+    return state, True

@@ -199,7 +199,13 @@ def train_stage(cfg: Config, stage: TrainStage, stage_idx: int,
     if restored is not None:
         runtime.state = restored
     else:
-        runtime.state, _ = ckpt.restore_params(runtime.state)
+        runtime.state, loaded = ckpt.restore_params(runtime.state)
+        if not loaded and cfg.pretrained_weight:
+            from xpt_mde_tpu.training.checkpoint import \
+                load_pretrained_backbone
+            pre = (Path(cfg.datapath) / "pretrained"
+                   / f"{stage.net_names.get('depth', '')}.msgpack")
+            runtime.state, _ = load_pretrained_backbone(runtime.state, pre)
     runtime.state = runtime._replicate(runtime.state)
 
     rng = jax.random.PRNGKey(initial_epoch)
