@@ -241,3 +241,25 @@ def test_native_loader_matches_numpy(kitti_tree, tmp_path):
                                              seed=3))
     n = sum(1 for _ in pre)
     assert n == np_loader.steps_per_epoch
+
+
+def test_multi_process_input_sharding(kitti_tree, tmp_path):
+    """Per-process disjoint batch slices (multi-host input pipeline)."""
+    from xpt_mde_tpu.config import Config
+    from xpt_mde_tpu.data.shard_maker import ShardMaker
+
+    cfg = Config(datapath=str(tmp_path),
+                 image_size_overrides={"kitti_raw": (32, 96)})
+    out = ShardMaker(cfg, "kitti_raw", "train", kitti_tree,
+                     data_keys=["image", "intrinsic"],
+                     drives=[(DATE, DRIVE)]).make()
+    ds = ShardDataset(out)
+    l0 = DatasetLoader(ds, batch_size=2, shuffle=True, seed=7,
+                       process_index=0, process_count=2)
+    l1 = DatasetLoader(ShardDataset(out), batch_size=2, shuffle=True, seed=7,
+                       process_index=1, process_count=2)
+    b0 = next(iter(l0))
+    b1 = next(iter(l1))
+    # same epoch order, disjoint slices -> different examples
+    assert not np.allclose(b0["image5d"], b1["image5d"])
+    assert l0.steps_per_epoch == len(ds) // 4

@@ -142,11 +142,7 @@ class NativeDatasetLoader(DatasetLoader):
         return self.ds.keys()
 
     def __iter__(self):
-        order = np.arange(len(self.ds))
-        if self.shuffle:
-            rng = np.random.RandomState(self.seed + self.epoch)
-            rng.shuffle(order)
-        self.epoch += 1
+        order = self._epoch_order()
         for start in range(0, self.steps_per_epoch * self.batch_size,
                            self.batch_size):
             idxs = order[start:start + self.batch_size]

@@ -223,17 +223,24 @@ class DatasetLoader:
     """
 
     def __init__(self, dataset: ShardDataset, batch_size: int,
-                 snippet_len: int = 5, shuffle: bool = True, seed: int = 0):
+                 snippet_len: int = 5, shuffle: bool = True, seed: int = 0,
+                 process_index: int = 0, process_count: int = 1):
+        """``batch_size`` is the per-process batch. On multi-host pods set
+        (process_index, process_count) so every host reads a disjoint
+        slice of the same shuffled order -- the jax.process_index-sharded
+        input pipeline of SURVEY.md §2.7."""
         self.ds = dataset
         self.batch_size = batch_size
         self.snippet_len = snippet_len
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = 0
+        self.process_index = process_index
+        self.process_count = process_count
 
     @property
     def steps_per_epoch(self) -> int:
-        return len(self.ds) // self.batch_size
+        return len(self.ds) // (self.batch_size * self.process_count)
 
     def _to_features(self, examples: list[dict]) -> dict:
         batch = {k: np.stack([ex[k] for ex in examples])
@@ -252,12 +259,19 @@ class DatasetLoader:
                 feats[key] = val
         return feats
 
-    def __iter__(self) -> Iterator[dict]:
+    def _epoch_order(self) -> np.ndarray:
+        """Shuffled per-epoch order, sliced to this process's share."""
         order = np.arange(len(self.ds))
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(order)
         self.epoch += 1
+        if self.process_count > 1:
+            order = order[self.process_index::self.process_count]
+        return order
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self._epoch_order()
         for start in range(0, self.steps_per_epoch * self.batch_size,
                            self.batch_size):
             idxs = order[start:start + self.batch_size]
