@@ -68,7 +68,7 @@ def test_depthnet_efficientnet_b0():
 
 
 @pytest.mark.parametrize("backbone", ["ResNet50V2", "MobileNetV2", "VGG16",
-                                      "DenseNet121", "Xception"])
+                                      "DenseNet121", "Xception", "NASNetMobile"])
 def test_other_backbones_build(backbone):
     factory = ModelFactory(["image", "intrinsic"],
                            {"depth": backbone, "camera": "PoseNetImproved"},

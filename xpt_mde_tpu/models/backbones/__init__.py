@@ -14,6 +14,7 @@ from xpt_mde_tpu.models.backbones.mobilenet import MobileNetV2
 from xpt_mde_tpu.models.backbones.vgg import VGG16
 from xpt_mde_tpu.models.backbones.densenet import DenseNet121
 from xpt_mde_tpu.models.backbones.xception import Xception
+from xpt_mde_tpu.models.backbones.nasnet import NASNet
 
 
 def backbone_factory(net_name: str, dtype):
@@ -30,6 +31,8 @@ def backbone_factory(net_name: str, dtype):
         return DenseNet121(dtype=dtype)
     if net_name == "Xception":
         return Xception(dtype=dtype)
+    if net_name in ("NASNetMobile", "NASNetLarge"):
+        return NASNet(variant=net_name[6:], dtype=dtype)
     raise ValueError(f"unknown backbone: {net_name}")
 
 
@@ -37,4 +40,4 @@ BACKBONE_NAMES = ["EfficientNetB0", "EfficientNetB1", "EfficientNetB2",
                   "EfficientNetB3", "EfficientNetB4", "EfficientNetB5",
                   "EfficientNetB6", "EfficientNetB7",
                   "ResNet50V2", "MobileNetV2", "VGG16",
-                  "DenseNet121", "Xception"]
+                  "DenseNet121", "Xception", "NASNetMobile", "NASNetLarge"]

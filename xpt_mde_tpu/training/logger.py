@@ -38,7 +38,32 @@ class TrainingLogger:
             with open(hist_file, "w") as fh:
                 fh.write(",".join(header) + "\n")
                 fh.write(",".join(str(row[h]) for h in header) + "\n")
+            self._write_column_guide(header)
+        self.save_mean_result()
         self.save_history_plot()
+
+    def _write_column_guide(self, header):
+        """Column legend (the reference's how-to-read-columns.txt,
+        logger.py:24-122)."""
+        lines = ["history.csv columns:",
+                 "  train_* : training-epoch means",
+                 "  val_*   : validation-epoch means",
+                 "  loss_<name> : per-loss-type component (recipe weights"
+                 " NOT applied)", ""]
+        lines += [f"  {h}" for h in header]
+        (self.ckpt_dir / "how-to-read-columns.txt").write_text(
+            "\n".join(lines) + "\n")
+
+    def save_mean_result(self):
+        """Per-loss-type means over all epochs (mean_result.csv role)."""
+        try:
+            import pandas as pd
+            df = pd.read_csv(self.ckpt_dir / "history.csv")
+            means = df.drop(columns=["epoch"]).mean(numeric_only=True)
+            means.to_csv(self.ckpt_dir / "mean_result.csv",
+                         header=["mean"], index_label="metric")
+        except Exception as e:
+            print(f"[TrainingLogger] mean_result failed: {e}")
 
     def save_history_plot(self):
         """history.png with train/val loss curves (logger.py:125-144)."""
