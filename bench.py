@@ -27,8 +27,10 @@ import numpy as np
 
 TF2_GPU_IMAGES_PER_SEC_ESTIMATE = 8.0
 
-BATCH = int(__import__("os").environ.get("BENCH_BATCH", 8))
-HEIGHT, WIDTH = 128, 512
+import os as _os
+BATCH = int(_os.environ.get("BENCH_BATCH", 8))
+HEIGHT = int(_os.environ.get("BENCH_HEIGHT", 128))
+WIDTH = int(_os.environ.get("BENCH_WIDTH", 512))
 WARMUP_STEPS = 3
 MEASURE_STEPS = 10
 
@@ -77,7 +79,7 @@ def main():
 
     images_per_sec = BATCH * MEASURE_STEPS / dt
     print(json.dumps({
-        "metric": "train_images_per_sec_per_chip_effb5_128x512",
+        "metric": f"train_images_per_sec_per_chip_effb5_{HEIGHT}x{WIDTH}",
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / TF2_GPU_IMAGES_PER_SEC_ESTIMATE, 2),
