@@ -171,6 +171,9 @@ class PrefetchLoader:
     def __getattr__(self, name):
         return getattr(self.loader, name)
 
+    def __len__(self):
+        return self.loader.steps_per_epoch
+
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         sentinel = object()

@@ -129,8 +129,9 @@ class StageRuntime:
 
     def run_train_epoch(self, rng, log_every: int = 50) -> dict:
         metric_sums, count = None, 0
-        steps = getattr(self.train_loader, "steps_per_epoch",
-                        len(self.train_loader))
+        steps = getattr(self.train_loader, "steps_per_epoch", None)
+        if steps is None:
+            steps = len(self.train_loader)
         with DurationTime() as dt:
             for step_idx, batch in enumerate(self.train_loader):
                 rng, sub = jax.random.split(rng)
