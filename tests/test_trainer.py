@@ -81,3 +81,26 @@ def test_config_drift_detection(tmp_path):
     cfg2.training_plan = plan + plan
     with pytest.raises(WrongInputError):
         train_by_plan(cfg2, synthetic_factory)
+
+
+@pytest.mark.slow
+def test_multi_dataset_plan_with_different_resolutions(tmp_path):
+    """TRAINING_PLAN_28-style dataset switching: stages train on datasets
+    with different image sizes, sharing net weights across stages."""
+    nets = {"depth": "DepthNetBasic", "camera": "PoseNetImproved"}
+    plan = [
+        TrainStage(nets, "synthetic_small", 1, 1e-4, {"L1": 1.0}, SW, True),
+        TrainStage(nets, "synthetic_wide", 1, 1e-4, {"L1": 1.0}, SW, True),
+    ]
+    cfg = make_cfg(tmp_path, plan)
+
+    def factory(name, split, batch_size):
+        hw = {"synthetic_small": (32, 64), "synthetic_wide": (32, 96)}[name]
+        return SyntheticDataset(batch_size=batch_size, height=hw[0],
+                                width=hw[1], num_batches=2)
+
+    train_by_plan(cfg, factory)
+    ckpt_dir = Path(cfg.datapath_ckp) / cfg.ckpt_name
+    hist = (ckpt_dir / "history.csv").read_text().strip().splitlines()
+    assert len(hist) == 3  # both stages trained
+    assert (ckpt_dir / "depthnet_ep02.msgpack").is_file()
