@@ -141,3 +141,18 @@ def test_total_augment_jittable():
     out = apply(feats, jax.random.PRNGKey(0))
     assert out["image5d"].shape == feats["image5d"].shape
     assert np.isfinite(np.asarray(out["image5d"])).all()
+
+
+def test_crop_depth_gt_nearest():
+    """depth_gt cropped with NEAREST (sparse values never interpolated),
+    aligned with the cropped image (augmentation.py:88-91)."""
+    aug = CropAndResize(aug_prob=1.0)
+    feats = _features()
+    depth = np.zeros((2, 32, 64, 1), np.float32)
+    depth[:, ::4, ::4] = 7.5  # sparse
+    feats["depth_gt"] = jnp.asarray(depth)
+    out = aug(dict(feats), jax.random.PRNGKey(1))
+    cropped = np.asarray(out["depth_gt"])
+    vals = np.unique(cropped)
+    assert set(vals.tolist()) <= {0.0, 7.5}  # no interpolated values
+    assert (cropped == 7.5).sum() > 0

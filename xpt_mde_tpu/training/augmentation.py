@@ -66,6 +66,12 @@ class CropAndResize:
             features["image5d_R"] = crop_im(features["image5d_R"])
             features["intrinsic_R"] = self._adjust_intrinsic(
                 features["intrinsic_R"], box, height, width)
+        # GT depth cropped nearest (sparse maps must not be interpolated)
+        # so the in-training depth metric stays aligned with the cropped
+        # view (augmentation.py:88-91)
+        for key in ("depth_gt", "depth_gt_R"):
+            if key in features:
+                features[key] = _crop_nearest(features[key], box)
         return features
 
     @staticmethod
@@ -83,7 +89,8 @@ class CropAndResize:
                           cropped[:, 2]], axis=1)
 
 
-def _crop_resize_5d(image5d: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
+def _crop_resize_5d(image5d: jnp.ndarray, box: jnp.ndarray,
+                    method: str = "linear") -> jnp.ndarray:
     """Crop normalized ``box`` = (y1, x1, y2, x2) and resize back to the
     original (H, W), batched over leading dims. Static-shaped via
     scale_and_translate."""
@@ -93,8 +100,19 @@ def _crop_resize_5d(image5d: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
     scale = jnp.stack([1.0 / (y2 - y1), 1.0 / (x2 - x1)])
     translation = jnp.stack([-y1 * h * scale[0], -x1 * w * scale[1]])
     out = jax.image.scale_and_translate(
-        flat, flat.shape, (1, 2), scale, translation, method="linear")
+        flat, flat.shape, (1, 2), scale, translation, method=method)
     return out.reshape(b, s, h, w, c)
+
+
+def _crop_nearest(image: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor crop+resize of [B, H, W, C] (sparse depth maps)."""
+    h, w = image.shape[1:3]
+    y1, x1, y2, x2 = box[0], box[1], box[2], box[3]
+    vy = (jnp.arange(h, dtype=jnp.float32) + 0.5) * (y2 - y1) + y1 * h
+    vx = (jnp.arange(w, dtype=jnp.float32) + 0.5) * (x2 - x1) + x1 * w
+    iy = jnp.clip(jnp.floor(vy), 0, h - 1).astype(jnp.int32)
+    ix = jnp.clip(jnp.floor(vx), 0, w - 1).astype(jnp.int32)
+    return jnp.take(jnp.take(image, iy, axis=1), ix, axis=2)
 
 
 class HorizontalFlip:
