@@ -181,3 +181,41 @@ def test_bilinear_sample_gradable():
     assert np.isfinite(np.asarray(g_img)).all()
     assert np.isfinite(np.asarray(g_crd)).all()
     assert np.abs(np.asarray(g_crd)).sum() > 0
+
+
+def test_bilinear_sample_paths_agree():
+    """The one-hot (small-scale) and patch-gather (full-res) formulations
+    must agree bit-closely on identical inputs."""
+    from xpt_mde_tpu.ops.warp import (_neighbor_weights, _sample_onehot,
+                                      _sample_patch_gather)
+    rng = np.random.RandomState(7)
+    image = jnp.asarray(rng.rand(2, 3, 16, 24, 3).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(-2, 30, (2, 3, 2, 16 * 24))
+                         .astype(np.float32))
+    depth = jnp.asarray(rng.rand(2, 16, 24, 1).astype(np.float32))
+    ints, weights = _neighbor_weights(image, coords, depth)
+    a = np.asarray(_sample_onehot(image, ints, weights))
+    b = np.asarray(_sample_patch_gather(image, ints, weights))
+    assert np.allclose(a, b, atol=1e-5), np.abs(a - b).max()
+
+
+def test_bilinear_sample_patch_path_gradable():
+    """Full-res path (above the one-hot threshold) must be differentiable."""
+    import jax
+
+    from xpt_mde_tpu.ops import warp as warp_mod
+
+    rng = np.random.RandomState(8)
+    h, w = 66, 128  # 8448 px > ONEHOT_MAX_PIXELS
+    assert h * w > warp_mod.ONEHOT_MAX_PIXELS
+    image = jnp.asarray(rng.rand(1, 2, h, w, 3).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(0, 60, (1, 2, 2, h * w))
+                         .astype(np.float32))
+
+    def loss(image, coords):
+        return jnp.sum(warp_mod.bilinear_sample(image, coords) ** 2)
+
+    g_img, g_crd = jax.jit(jax.grad(loss, argnums=(0, 1)))(image, coords)
+    assert np.isfinite(np.asarray(g_img)).all()
+    assert np.isfinite(np.asarray(g_crd)).all()
+    assert np.abs(np.asarray(g_crd)).sum() > 0

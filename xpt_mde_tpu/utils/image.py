@@ -26,15 +26,17 @@ def to_uint8_image(float_image: jnp.ndarray) -> jnp.ndarray:
     return jnp.round((x + 1.0) / 2.0 * 255.0).astype(jnp.uint8)
 
 
-def _axis_lerp_indices(dst: int, src: int):
-    """Half-pixel-center sample positions for one axis, TF-style: lower
-    index, upper index (both clipped) and the lerp fraction."""
+def _axis_resize_matrix(dst: int, src: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[dst, src] bilinear interpolation matrix with TF half-pixel-center
+    semantics and NO antialiasing: row o holds (1-frac) at floor and frac
+    at floor+1 (clipped)."""
     v = (jnp.arange(dst, dtype=jnp.float32) + 0.5) * (src / dst) - 0.5
     i0 = jnp.floor(v)
-    frac = v - i0
+    frac = (v - i0).astype(dtype)
     lo = jnp.clip(i0, 0, src - 1).astype(jnp.int32)
     hi = jnp.clip(i0 + 1, 0, src - 1).astype(jnp.int32)
-    return lo, hi, frac
+    eye = jnp.eye(src, dtype=dtype)
+    return (eye[lo] * (1.0 - frac)[:, None] + eye[hi] * frac[:, None])
 
 
 def resize_image(image: jnp.ndarray, height: int, width: int,
@@ -44,8 +46,12 @@ def resize_image(image: jnp.ndarray, height: int, width: int,
 
     jax.image.resize antialiases on downscale, which diverges from the
     reference's tf.image.resize by up to ~0.26 on 2x downsampling --
-    enough to shift every multi-scale loss. This separable gather+lerp
-    matches TF bit-closely (tests/test_tf_parity.py).
+    enough to shift every multi-scale loss.
+
+    TPU note: implemented as two small dense matmul contractions (the
+    interpolation matrices are trace-time constants) -- gathers on TPU
+    serialize and cost ~100ms per training step at these shapes, while
+    the MXU eats the equivalent matmuls in microseconds.
     """
     src_h, src_w = image.shape[-3], image.shape[-2]
     if src_h == height and src_w == width:
@@ -53,14 +59,18 @@ def resize_image(image: jnp.ndarray, height: int, width: int,
     if method == "nearest":
         out_shape = image.shape[:-3] + (height, width, image.shape[-1])
         return jax.image.resize(image, out_shape, method="nearest")
-    y0, y1, fy = _axis_lerp_indices(height, src_h)
-    x0, x1, fx = _axis_lerp_indices(width, src_w)
-    fy = fy[:, None, None].astype(image.dtype)
-    fx = fx[:, None].astype(image.dtype)
-    rows = (jnp.take(image, y0, axis=-3) * (1 - fy)
-            + jnp.take(image, y1, axis=-3) * fy)
-    return (jnp.take(rows, x0, axis=-2) * (1 - fx)
-            + jnp.take(rows, x1, axis=-2) * fx)
+    dtype = image.dtype
+    my = _axis_resize_matrix(height, src_h, dtype)  # [h', H]
+    mx = _axis_resize_matrix(width, src_w, dtype)   # [w', W]
+    lead = image.shape[:-3]
+    chans = image.shape[-1]
+    flat = image.reshape((-1, src_h, src_w, chans))
+    # rows: [B, h', W, C] = my [h',H] x flat [B,H,W,C]
+    rows = jnp.einsum("oY,bYXc->boXc", my, flat,
+                      precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("oX,byXc->byoc", mx, rows,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(lead + (height, width, chans))
 
 
 def multi_scale_like(image: jnp.ndarray, pyramid: Sequence[jnp.ndarray],
