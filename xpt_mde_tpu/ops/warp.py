@@ -97,8 +97,20 @@ def _sample_patch_gather(image, ints, weights):
         padded[:, :, 1:height + 1, 1:width + 1],
     ], axis=-1).reshape(batch, numsrc, height * width, 4 * channels)
 
+    # XLA's TPU gather runs ~10x cheaper when the gathered slice spans a
+    # full register row (measured: minor dim >= 64 -> ~5.7 KB/index vs
+    # ~70 KB/index below). Pad the packed patches up to 64 lanes and pin
+    # the padded operand with an optimization barrier so XLA can't fuse
+    # the pad/slice back into a narrow gather.
+    lane_min = 64
+    packed = 4 * channels
+    if packed < lane_min:
+        patch_img = jnp.pad(
+            patch_img, ((0, 0), (0, 0), (0, 0), (0, lane_min - packed)))
+        patch_img = jax.lax.optimization_barrier(patch_img)
+
     flat_idx = (vf * width + uf)[..., None]  # [B,N,HW,1]
-    patches = jnp.take_along_axis(patch_img, flat_idx, axis=2)
+    patches = jnp.take_along_axis(patch_img, flat_idx, axis=2)[..., :packed]
     patches = patches.reshape(batch, numsrc, height * width, 4, channels)
     # wherever a weight is nonzero the validity mask guarantees
     # vc==vf+1 and uc==uf+1, so the packed corners ARE the 4 neighbors
