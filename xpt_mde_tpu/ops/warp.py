@@ -30,8 +30,11 @@ import jax.numpy as jnp
 
 
 # one-hot dot cost is B*N*HW^2*C MACs; below this pixel count the MXU
-# eats it and it beats any gather formulation
+# eats it and it beats any gather formulation -- but only for few-channel
+# images (C<=8): warping wide feature maps (e.g. PWC-Net's 196-channel
+# pyramids) through a HW^2 dot would cost ~1e14 FLOPs
 ONEHOT_MAX_PIXELS = 32 * 128 + 1
+ONEHOT_MAX_CHANNELS = 8
 
 
 def _neighbor_weights(image, pixel_coords, valid_mask):
@@ -131,8 +134,9 @@ def bilinear_sample(image: jnp.ndarray, pixel_coords: jnp.ndarray,
         invalid target pixels (e.g. zero-depth)
     :return: reconstructed target view [batch, numsrc, height, width, channels]
     """
-    height, width = image.shape[2], image.shape[3]
+    height, width, channels = image.shape[2], image.shape[3], image.shape[4]
     ints, weights = _neighbor_weights(image, pixel_coords, valid_mask)
-    if height * width <= ONEHOT_MAX_PIXELS:
+    if (height * width <= ONEHOT_MAX_PIXELS
+            and channels <= ONEHOT_MAX_CHANNELS):
         return _sample_onehot(image, ints, weights)
     return _sample_patch_gather(image, ints, weights)
