@@ -219,3 +219,21 @@ def test_bilinear_sample_patch_path_gradable():
     assert np.isfinite(np.asarray(g_img)).all()
     assert np.isfinite(np.asarray(g_crd)).all()
     assert np.abs(np.asarray(g_crd)).sum() > 0
+
+
+def test_bf16_gather_option_close_to_f32():
+    """Opt-in bf16 patch gather stays within quantization tolerance."""
+    from xpt_mde_tpu.ops import warp as warp_mod
+
+    rng = np.random.RandomState(9)
+    h, w = 66, 128
+    image = jnp.asarray(rng.rand(1, 2, h, w, 3).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(0, 60, (1, 2, 2, h * w)).astype(np.float32))
+    ref = np.asarray(warp_mod.bilinear_sample(image, coords))
+    try:
+        warp_mod.set_gather_dtype(jnp.bfloat16)
+        out = np.asarray(warp_mod.bilinear_sample(image, coords))
+    finally:
+        warp_mod.set_gather_dtype(None)
+    assert out.dtype == np.float32
+    assert np.abs(out - ref).max() < 0.01

@@ -36,6 +36,18 @@ import jax.numpy as jnp
 ONEHOT_MAX_PIXELS = 32 * 128 + 1
 ONEHOT_MAX_CHANNELS = 8
 
+# optional reduced-precision gather: the full-res patch gather is random
+# 256B-row HBM traffic (~25 ms/step at f32); bf16 halves it. Off by
+# default -- image values quantize to ~3 decimal digits, a parity
+# tradeoff the user must opt into (Config.warp_gather_dtype).
+GATHER_DTYPE = None  # None = operand dtype; jnp.bfloat16 to opt in
+
+
+def set_gather_dtype(dtype) -> None:
+    """Set the patch-gather storage dtype (None restores full precision)."""
+    global GATHER_DTYPE
+    GATHER_DTYPE = dtype
+
 
 def _neighbor_weights(image, pixel_coords, valid_mask):
     """Shared neighbor/weight/validity computation. Returns
@@ -105,6 +117,9 @@ def _sample_patch_gather(image, ints, weights):
     # ~70 KB/index below). Pad the packed patches up to 64 lanes and pin
     # the padded operand with an optimization barrier so XLA can't fuse
     # the pad/slice back into a narrow gather.
+    out_dtype = image.dtype
+    if GATHER_DTYPE is not None:
+        patch_img = patch_img.astype(GATHER_DTYPE)
     lane_min = 64
     packed = 4 * channels
     if packed < lane_min:
@@ -114,7 +129,8 @@ def _sample_patch_gather(image, ints, weights):
 
     flat_idx = (vf * width + uf)[..., None]  # [B,N,HW,1]
     patches = jnp.take_along_axis(patch_img, flat_idx, axis=2)[..., :packed]
-    patches = patches.reshape(batch, numsrc, height * width, 4, channels)
+    patches = patches.reshape(batch, numsrc, height * width, 4,
+                              channels).astype(out_dtype)
     # wherever a weight is nonzero the validity mask guarantees
     # vc==vf+1 and uc==uf+1, so the packed corners ARE the 4 neighbors
     w_ff, w_fc, w_cf, w_cc = (w[..., None] for w in weights)

@@ -72,6 +72,10 @@ class StageRuntime:
             self.val_loader = None
         dataset_keys = self._loader_keys(self.train_loader)
 
+        if cfg.warp_gather_dtype == "bfloat16":
+            from xpt_mde_tpu.ops import warp as warp_ops
+            warp_ops.set_gather_dtype(jnp.bfloat16)
+
         factory = ModelFactory(dataset_keys, stage.net_names,
                                cfg.depth_activation, stereo=cfg.stereo,
                                high_res=cfg.high_res,
