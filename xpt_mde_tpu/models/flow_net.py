@@ -95,10 +95,14 @@ class PWCNet(nn.Module):
         md = MAX_DISPLACEMENT // 2 ** p
         stride = max(md // 4, 1)
         if self.use_pallas:
+            import jax
+
             from xpt_mde_tpu.ops.pallas.correlation import \
                 correlation_cost_pallas
-            return correlation_cost_pallas(cl.astype(self.dtype),
-                                           cr.astype(self.dtype), md, stride)
+            # interpreter mode on CPU keeps the Pallas path testable there
+            return correlation_cost_pallas(
+                cl.astype(self.dtype), cr.astype(self.dtype), md, stride,
+                interpret=jax.default_backend() == "cpu")
         return correlation_cost(cl.astype(self.dtype), cr.astype(self.dtype),
                                 md, stride)
 

@@ -68,7 +68,11 @@ class StageRuntime:
         try:
             self.val_loader = dataset_factory(stage.dataset, "val",
                                               cfg.batch_size)
-        except Exception:
+        except FileNotFoundError as exc:
+            # only a genuinely absent val split is skippable; schema or IO
+            # errors must surface (VERDICT r1 weak #7)
+            print(f"[StageRuntime] no val split for {stage.dataset}, "
+                  f"training without validation: {exc}")
             self.val_loader = None
         dataset_keys = self._loader_keys(self.train_loader)
 
