@@ -1,0 +1,89 @@
+"""Keras -> Flax weight-conversion parity for the non-EfficientNet zoo.
+
+Builds each randomly initialized tf.keras.applications backbone (no
+downloads), converts its weights into our keras-exact Flax twin via the
+generic name-based converter, and checks all 5 tap feature maps against
+keras' intermediate outputs (the scaled_layers.json tap points the
+reference uses, /root/reference/model/build_model/pretrained_nets.py).
+
+Each Flax twin applies the reference's preprocess_input quirk
+internally, so the comparison feeds the RAW tensor to ours and
+preprocess_input(raw) to keras — preprocessing parity is covered too.
+"""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from xpt_mde_tpu.models.backbones import backbone_factory  # noqa: E402
+from xpt_mde_tpu.models.backbones.convert_keras import (  # noqa: E402
+    convert_keras_by_name, load_into_variables)
+
+# net -> (keras ctor, preprocess module, tap layer names, (H, W), pad)
+# Xception runs at 96x160 (keras requires >= 71px) and its taps sit on a
+# (H+6, W+6) resized input (pretrained_nets.py:58)
+CASES = {
+    "ResNet50V2": (
+        "ResNet50V2", "resnet_v2",
+        ["conv1_conv", "conv2_block3_1_relu", "conv3_block4_1_relu",
+         "conv4_block6_1_relu", "post_relu"], (64, 128), 0),
+    "MobileNetV2": (
+        "MobileNetV2", "mobilenet_v2",
+        ["block_1_expand_relu", "block_3_expand_relu", "block_6_expand_relu",
+         "block_13_expand_relu", "out_relu"], (64, 128), 0),
+    "DenseNet121": (
+        "DenseNet121", "densenet",
+        ["conv1_relu", "pool2_conv", "pool3_conv", "pool4_conv", "relu"],
+        (64, 128), 0),
+    "VGG16": (
+        "VGG16", "vgg16",
+        ["block2_conv2", "block3_conv3", "block4_conv3", "block5_conv3",
+         "block5_pool"], (64, 128), 0),
+    "Xception": (
+        "Xception", "xception",
+        ["block2_sepconv2_bn", "block3_sepconv2_bn", "block4_sepconv2_bn",
+         "block13_sepconv2_bn", "block14_sepconv2_act"], (96, 160), 6),
+}
+
+
+@pytest.mark.parametrize("net_name", list(CASES.keys()))
+def test_backbone_conversion_matches_keras(net_name):
+    ctor_name, preproc_mod, tap_names, (H, W), pad = CASES[net_name]
+    tf.keras.utils.set_random_seed(0)
+    keras_model = getattr(tf.keras.applications, ctor_name)(
+        include_top=False, weights=None, input_shape=(H + pad, W + pad, 3))
+
+    rng = np.random.RandomState(0)
+    raw = (rng.rand(1, H, W, 3).astype(np.float32) * 2 - 1)
+
+    import importlib
+    preprocess = importlib.import_module(
+        f"keras.src.applications.{preproc_mod}").preprocess_input
+    keras_in = preprocess(raw.copy())
+    if pad:
+        keras_in = tf.image.resize(keras_in, (H + pad, W + pad),
+                                   method="bilinear").numpy()
+    tap_layers = [keras_model.get_layer(n) for n in tap_names]
+    keras_taps = tf.keras.Model(keras_model.input,
+                                [l.output for l in tap_layers])(
+        keras_in, training=False)
+    keras_taps = [np.asarray(t) for t in keras_taps]
+
+    flax_model = backbone_factory(net_name, jnp.float32)
+    variables = flax_model.init(jax.random.PRNGKey(0), jnp.asarray(raw),
+                                train=False)
+    params, stats = convert_keras_by_name(keras_model)
+    variables = load_into_variables(variables, params, stats)
+    flax_taps = flax_model.apply(variables, jnp.asarray(raw), train=False)
+
+    assert len(flax_taps) == 5
+    for i, (ours, theirs) in enumerate(zip(flax_taps, keras_taps)):
+        ours = np.asarray(ours, np.float32)
+        assert ours.shape == theirs.shape, (i, ours.shape, theirs.shape)
+        denom = np.abs(theirs).max() + 1e-6
+        diff = np.abs(ours - theirs).max() / denom
+        assert diff < 2e-3, f"{net_name} tap {i}: max rel diff {diff}"

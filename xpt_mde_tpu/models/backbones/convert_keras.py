@@ -123,6 +123,92 @@ def convert_efficientnet(keras_model, variant: str = "B0"):
     return params, stats
 
 
+def _autoname_map(keras_model) -> dict:
+    """Map keras auto-named layers (conv2d, conv2d_1, batch_normalization_3,
+    ...) to deterministic names by encounter order. The numeric suffixes
+    depend on a process-global keras layer counter, so they cannot be used
+    as stable identifiers; encounter order within the model can.
+
+    Used for Xception's residual 1x1 convs + BNs, which keras leaves
+    unnamed -> our modules call them xres_conv_{i} / xres_bn_{i}.
+    """
+    import re
+
+    mapping = {}
+    conv_i = bn_i = 0
+    for layer in keras_model.layers:
+        if re.fullmatch(r"conv2d(_\d+)?", layer.name):
+            mapping[layer.name] = f"xres_conv_{conv_i}"
+            conv_i += 1
+        elif re.fullmatch(r"batch_normalization(_\d+)?", layer.name):
+            mapping[layer.name] = f"xres_bn_{bn_i}"
+            bn_i += 1
+    return mapping
+
+
+def convert_keras_by_name(keras_model):
+    """Generic keras -> Flax conversion for flat keras-named backbones
+    (ResNet50V2, DenseNet121, MobileNetV2, VGG16, Xception).
+
+    Our Flax twins name every Conv/BatchNorm submodule exactly like the
+    keras layer (with "/" -> "_", keras-2.4 DenseNet style), so the
+    conversion is a mechanical walk: Conv2D/DepthwiseConv2D -> kernel
+    (+bias), SeparableConv2D -> {name}_dw + {name}_pw, BatchNorm ->
+    (scale, bias) params + (mean, var) batch_stats.
+
+    :return: (params, batch_stats) dicts for load_into_variables.
+    """
+    kw = _keras_weight_dict(keras_model)
+    rename = _autoname_map(keras_model)
+    # keras 3 names DepthwiseConv2D kernels plain "kernel"; detect by class
+    depthwise_layers = {l.name for l in keras_model.layers
+                        if type(l).__name__ == "DepthwiseConv2D"}
+    params: dict = {}
+    stats: dict = {}
+    for lname, w in kw.items():
+        name = rename.get(lname, lname).replace("/", "_")
+        if lname in depthwise_layers and "depthwise_kernel" not in w:
+            w = dict(w)
+            w["depthwise_kernel"] = w.pop("kernel")
+        if "moving_mean" in w:
+            p = {}
+            if "gamma" in w:
+                p["scale"] = w["gamma"]
+            if "beta" in w:
+                p["bias"] = w["beta"]
+            params[name] = p
+            stats[name] = {"mean": w["moving_mean"],
+                           "var": w["moving_variance"]}
+        elif "depthwise_kernel" in w and "pointwise_kernel" in w:
+            # SeparableConv2D -> two grouped/pointwise Flax convs
+            dw = np.transpose(w["depthwise_kernel"], (0, 1, 3, 2))
+            params[name + "_dw"] = {"kernel": dw}
+            pw = {"kernel": w["pointwise_kernel"]}
+            if "bias" in w:
+                pw["bias"] = w["bias"]
+            params[name + "_pw"] = pw
+        elif "depthwise_kernel" in w:
+            dw = np.transpose(w["depthwise_kernel"], (0, 1, 3, 2))
+            p = {"kernel": dw}
+            if "bias" in w:
+                p["bias"] = w["bias"]
+            params[name] = p
+        elif "kernel" in w:
+            p = {"kernel": w["kernel"]}
+            if "bias" in w:
+                p["bias"] = w["bias"]
+            params[name] = p
+    return params, stats
+
+
+def convert_backbone(keras_model, net_name: str):
+    """Dispatch: EfficientNet keeps its structured converter; the flat
+    keras-named twins use the generic name-based walk."""
+    if net_name.startswith("EfficientNetB"):
+        return convert_efficientnet(keras_model, net_name[-2:])
+    return convert_keras_by_name(keras_model)
+
+
 def load_into_variables(variables, params, batch_stats):
     """Graft converted (params, batch_stats) into an init()'d variables
     tree, asserting shape agreement leaf by leaf."""

@@ -1,8 +1,22 @@
-"""ResNet50V2 encoder (pre-activation ResNet, native Flax).
+"""ResNet50V2 encoder — keras-exact twin (native Flax).
 
-Capability twin of keras ResNet50V2 used by the reference
-(/root/reference/model/build_model/pretrained_nets.py:98-101). Emits 5
-feature maps at strides (2, 4, 8, 16, 32).
+Weight-layout and numerics twin of tf.keras.applications.ResNet50V2 as
+used by the reference (/root/reference/model/build_model/
+pretrained_nets.py:98-101), so converted ImageNet weights reproduce
+keras feature maps exactly. Flat submodule names equal the keras layer
+names; tap points follow scaled_layers.json: conv1_conv (s2),
+conv2_block3_1_relu (s4), conv3_block4_1_relu (s8),
+conv4_block6_1_relu (s16), post_relu (s32).
+
+Keras-exact details preserved: explicit zero padding before the 7x7
+stem conv and the strided 3x3 convs (NOT XLA SAME, which pads
+asymmetrically), 1x1-maxpool shortcut (= strided slice) on strided
+blocks, conv shortcut only on each stage's first block, bias on the
+1x1 projection convs, BN eps 1.001e-5.
+
+Input follows the pipeline convention (the reference feeds its [-1, 1]
+float images straight into keras preprocess_input — a quirk we
+reproduce): resnet_v2 preprocessing is "tf" mode, x/127.5 - 1.
 """
 
 from __future__ import annotations
@@ -12,59 +26,56 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-
-class PreActBottleneck(nn.Module):
-    ch: int  # bottleneck width; output is 4*ch
-    stride: int = 1
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        norm = lambda: nn.BatchNorm(use_running_average=not train,
-                                    dtype=self.dtype, param_dtype=jnp.float32)
-        preact = nn.relu(norm()(x))
-        if self.stride != 1 or x.shape[-1] != self.ch * 4:
-            shortcut = nn.Conv(self.ch * 4, (1, 1), strides=(self.stride,) * 2,
-                               dtype=self.dtype, param_dtype=jnp.float32)(preact)
-        else:
-            shortcut = x
-        y = nn.Conv(self.ch, (1, 1), use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32)(preact)
-        y = nn.relu(norm()(y))
-        y = nn.Conv(self.ch, (3, 3), strides=(self.stride,) * 2, padding="SAME",
-                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)(y)
-        y = nn.relu(norm()(y))
-        y = nn.Conv(self.ch * 4, (1, 1), dtype=self.dtype,
-                    param_dtype=jnp.float32)(y)
-        return shortcut + y
+_BN_EPS = 1.001e-5
 
 
 class ResNet50V2(nn.Module):
-    """Stages (3, 4, 6, 3) with v2 stride placement. Taps: stem conv (s2),
-    ends of stages at strides 4, 8, 16, 32."""
-
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
-                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = (x / 127.5 - 1.0).astype(self.dtype)  # keras "tf"-mode preprocess
+
+        def conv(y, name, ch, kernel, stride=1, bias=True, pad="VALID"):
+            return nn.Conv(ch, (kernel, kernel), strides=(stride, stride),
+                           padding=pad, use_bias=bias, dtype=self.dtype,
+                           param_dtype=jnp.float32, name=name)(y)
+
+        def bn(y, name):
+            return nn.BatchNorm(use_running_average=not train,
+                                epsilon=_BN_EPS, dtype=self.dtype,
+                                param_dtype=jnp.float32, name=name)(y)
+
+        def zpad(y, p):
+            return jnp.pad(y, ((0, 0), (p, p), (p, p), (0, 0)))
+
+        x = conv(zpad(x, 3), "conv1_conv", 64, 7, stride=2)
         f2 = x
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(zpad(x, 1), (3, 3), strides=(2, 2), padding="VALID")
 
         taps = [f2]
-        # v2 places the downsampling stride on the *last* block of a stage,
-        # so the (4, 8, 16) taps are taken just before that striding block
-        for stage, (ch, blocks) in enumerate([(64, 3), (128, 4), (256, 6), (512, 3)]):
-            for _ in range(blocks - 1):
-                x = PreActBottleneck(ch, 1, self.dtype)(x, train)
-            if stage < 3:
-                taps.append(x)  # strides 4, 8, 16
-                x = PreActBottleneck(ch, 2, self.dtype)(x, train)
-            else:
-                x = PreActBottleneck(ch, 1, self.dtype)(x, train)
-                x = nn.relu(nn.BatchNorm(use_running_average=not train,
-                                         dtype=self.dtype,
-                                         param_dtype=jnp.float32)(x))
-                taps.append(x)  # stride 32
+        stages = [("conv2", 64, 3), ("conv3", 128, 4), ("conv4", 256, 6),
+                  ("conv5", 512, 3)]
+        for stage_idx, (sname, ch, blocks) in enumerate(stages):
+            for b in range(1, blocks + 1):
+                p = f"{sname}_block{b}"
+                stride = 2 if (b == blocks and stage_idx < 3) else 1
+                preact = nn.relu(bn(x, f"{p}_preact_bn"))
+                if b == 1:
+                    shortcut = conv(preact, f"{p}_0_conv", ch * 4, 1,
+                                    stride=stride)
+                elif stride > 1:
+                    shortcut = x[:, ::stride, ::stride, :]  # 1x1 max pool
+                else:
+                    shortcut = x
+                y = nn.relu(bn(conv(preact, f"{p}_1_conv", ch, 1, bias=False),
+                               f"{p}_1_bn"))
+                if b == blocks and stage_idx < 3:
+                    taps.append(y)  # conv{2,3,4}_block{last}_1_relu
+                y = conv(zpad(y, 1), f"{p}_2_conv", ch, 3, stride=stride,
+                         bias=False)
+                y = nn.relu(bn(y, f"{p}_2_bn"))
+                y = conv(y, f"{p}_3_conv", ch * 4, 1)
+                x = shortcut + y
+        taps.append(nn.relu(bn(x, "post_bn")))  # post_relu, stride 32
         return taps

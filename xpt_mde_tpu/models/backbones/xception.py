@@ -1,9 +1,25 @@
-"""Xception encoder (native Flax).
+"""Xception encoder — keras-exact twin (native Flax).
 
-Capability twin of keras Xception used by the reference
-(/root/reference/model/build_model/pretrained_nets.py:56-65; the keras
-odd-input padding workaround is unnecessary here -- SAME padding handles
-any /32-divisible input). Emits 5 feature maps at strides (2, 4, 8, 16, 32).
+Weight-layout and numerics twin of tf.keras.applications.Xception as
+used by the reference (/root/reference/model/build_model/
+pretrained_nets.py:56-65): the input is bilinearly resized to
+(H+6, W+6) so the two VALID stem convs land the taps exactly at
+strides 2..32. Flat submodule names equal the keras layer names; the
+keras auto-named residual convs/BNs (conv2d, conv2d_1, ...,
+batch_normalization, ...) are named xres_conv_{i}/xres_bn_{i} here and
+remapped by encounter order in the converter. Taps follow
+scaled_layers.json: block2_sepconv2_bn (s2), block3_sepconv2_bn (s4),
+block4_sepconv2_bn (s8), block13_sepconv2_bn (s16),
+block14_sepconv2_act (s32).
+
+SeparableConv2D splits into two bias-free Flax convs named
+{name}_dw / {name}_pw. BN eps 1e-3. block2 has no relu before its
+first sepconv.
+
+Input follows the pipeline convention ([-1, 1] floats fed straight into
+keras preprocess_input, a reference quirk we reproduce): xception
+preprocessing is "tf" mode, x/127.5 - 1, applied BEFORE the resize as
+the reference's Lambda does.
 """
 
 from __future__ import annotations
@@ -13,59 +29,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-
-class SeparableConv(nn.Module):
-    features: int
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        x = nn.Conv(x.shape[-1], (3, 3), padding="SAME",
-                    feature_group_count=x.shape[-1], use_bias=False,
-                    dtype=self.dtype, param_dtype=jnp.float32)(x)
-        return nn.Conv(self.features, (1, 1), use_bias=False,
-                       dtype=self.dtype, param_dtype=jnp.float32)(x)
-
-
-class XceptionBlock(nn.Module):
-    features: int
-    strides: int = 2
-    relu_first: bool = True
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        norm = lambda: nn.BatchNorm(use_running_average=not train,
-                                    dtype=self.dtype, param_dtype=jnp.float32)
-        residual = nn.Conv(self.features, (1, 1), strides=(self.strides,) * 2,
-                           use_bias=False, dtype=self.dtype,
-                           param_dtype=jnp.float32)(x)
-        residual = norm()(residual)
-        y = x
-        for i in range(2):
-            if self.relu_first or i > 0:
-                y = nn.relu(y)
-            y = SeparableConv(self.features, self.dtype)(y)
-            y = norm()(y)
-        if self.strides > 1:
-            y = nn.max_pool(y, (3, 3), strides=(self.strides,) * 2,
-                            padding="SAME")
-        return y + residual
-
-
-class MiddleBlock(nn.Module):
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        norm = lambda: nn.BatchNorm(use_running_average=not train,
-                                    dtype=self.dtype, param_dtype=jnp.float32)
-        y = x
-        for _ in range(3):
-            y = nn.relu(y)
-            y = SeparableConv(728, self.dtype)(y)
-            y = norm()(y)
-        return x + y
+from xpt_mde_tpu.utils.image import resize_image
 
 
 class Xception(nn.Module):
@@ -73,26 +37,73 @@ class Xception(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda: nn.BatchNorm(use_running_average=not train,
-                                    dtype=self.dtype, param_dtype=jnp.float32)
-        x = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME",
-                    use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32)(x)
-        x = nn.relu(norm()(x))
-        x = nn.Conv(64, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype, param_dtype=jnp.float32)(x)
-        f2 = nn.relu(norm()(x))                               # stride 2
+        x = x / 127.5 - 1.0  # keras "tf"-mode preprocess
+        height, width = x.shape[-3], x.shape[-2]
+        x = resize_image(x, height + 6, width + 6)  # pretrained_nets.py:58-65
+        x = x.astype(self.dtype)
 
-        f4 = XceptionBlock(128, 2, relu_first=False,
-                           dtype=self.dtype)(f2, train)        # stride 4
-        f8 = XceptionBlock(256, 2, dtype=self.dtype)(f4, train)   # stride 8
-        x = XceptionBlock(728, 2, dtype=self.dtype)(f8, train)    # stride 16
-        for _ in range(8):
-            x = MiddleBlock(dtype=self.dtype)(x, train)
-        f16 = x
-        x = XceptionBlock(1024, 2, dtype=self.dtype)(f16, train)  # stride 32
-        x = SeparableConv(1536, self.dtype)(x)
-        x = nn.relu(norm()(x))
-        x = SeparableConv(2048, self.dtype)(x)
-        f32 = nn.relu(norm()(x))
-        return [f2, f4, f8, f16, f32]
+        def conv(y, name, ch, kernel=1, stride=1, pad="SAME", groups=1):
+            return nn.Conv(ch, (kernel, kernel), strides=(stride, stride),
+                           padding=pad, use_bias=False,
+                           feature_group_count=groups, dtype=self.dtype,
+                           param_dtype=jnp.float32, name=name)(y)
+
+        def bn(y, name):
+            return nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                                dtype=self.dtype, param_dtype=jnp.float32,
+                                name=name)(y)
+
+        def sepconv(y, name, ch):
+            y = conv(y, f"{name}_dw", y.shape[-1], 3, groups=y.shape[-1])
+            return conv(y, f"{name}_pw", ch)
+
+        def pool(y):
+            return nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
+
+        # stem: two VALID convs
+        x = conv(x, "block1_conv1", 32, 3, 2, "VALID")
+        x = nn.relu(bn(x, "block1_conv1_bn"))
+        x = conv(x, "block1_conv2", 64, 3, 1, "VALID")
+        x = nn.relu(bn(x, "block1_conv2_bn"))
+
+        taps = []
+        xres = 0  # keras auto-name counter (conv2d/batch_normalization_i)
+
+        def entry_block(y, block, sep1_ch, sep2_ch, relu_first=True):
+            nonlocal xres
+            residual = bn(conv(y, f"xres_conv_{xres}", sep2_ch, 1, 2),
+                          f"xres_bn_{xres}")
+            xres += 1
+            if relu_first:
+                y = nn.relu(y)
+            y = bn(sepconv(y, f"block{block}_sepconv1", sep1_ch),
+                   f"block{block}_sepconv1_bn")
+            y = nn.relu(y)
+            tap = bn(sepconv(y, f"block{block}_sepconv2", sep2_ch),
+                     f"block{block}_sepconv2_bn")
+            return pool(tap) + residual, tap
+
+        x, tap = entry_block(x, 2, 128, 128, relu_first=False)
+        taps.append(tap)                                   # stride 2
+        x, tap = entry_block(x, 3, 256, 256)
+        taps.append(tap)                                   # stride 4
+        x, tap = entry_block(x, 4, 728, 728)
+        taps.append(tap)                                   # stride 8
+
+        for block in range(5, 13):  # middle flow
+            y = x
+            for s in (1, 2, 3):
+                y = nn.relu(y)
+                y = bn(sepconv(y, f"block{block}_sepconv{s}", 728),
+                       f"block{block}_sepconv{s}_bn")
+            x = x + y
+
+        x, tap = entry_block(x, 13, 728, 1024)
+        taps.append(tap)                                   # stride 16
+
+        x = nn.relu(bn(sepconv(x, "block14_sepconv1", 1536),
+                       "block14_sepconv1_bn"))
+        x = nn.relu(bn(sepconv(x, "block14_sepconv2", 2048),
+                       "block14_sepconv2_bn"))
+        taps.append(x)                                     # stride 32
+        return taps
