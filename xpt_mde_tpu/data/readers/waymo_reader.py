@@ -45,8 +45,12 @@ def _require_waymo():
 
 
 class WaymoReader(DataReaderBase):
-    def __init__(self, split: str = "train", base_path=None):
+    def __init__(self, split: str = "train", base_path=None, sdk=None):
+        """:param sdk: optional (dataset_pb2, frame_utils, tf) triple; tests
+        inject protocol-compatible fakes so the buffer/pose/depth logic
+        runs without the waymo_open_dataset package."""
         super().__init__(split, base_path)
+        self._sdk = sdk
         self._pb, self._fu, self._tf = None, None, None
         self.frame_buffer: dict = {}
         self.latest_index = -1
@@ -59,7 +63,7 @@ class WaymoReader(DataReaderBase):
                       if p.is_dir())
 
     def init_drive(self, drive_path):
-        self._pb, self._fu, self._tf = _require_waymo()
+        self._pb, self._fu, self._tf = self._sdk or _require_waymo()
         files = sorted(str(f) for f in Path(drive_path).glob("*.tfrecord*"))
         dataset = self._tf.data.TFRecordDataset(files, compression_type="")
         self._iterator = iter(dataset)
