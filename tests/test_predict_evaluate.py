@@ -71,8 +71,8 @@ def test_debug_evaluator_and_viz(tmp_path):
     predict_by_plan(cfg, synthetic_factory)
     npz = Path(cfg.datapath_prd) / "test01" / "synthetic_latest.npz"
 
-    from xpt_mde_tpu.evaluate.evaluate_debug import evaluate_for_debug
-    out = evaluate_for_debug(npz, tmp_path / "debug", worst_n=2)
+    from xpt_mde_tpu.evaluate.evaluate_debug import evaluate_npz_debug
+    out = evaluate_npz_debug(npz, tmp_path / "debug", worst_n=2)
     assert len(out["rows"]) == 4
     assert "abs_rel" in out["worst"]
     assert (tmp_path / "debug" / "debug_metrics.csv").exists()
@@ -81,3 +81,50 @@ def test_debug_evaluator_and_viz(tmp_path):
     from xpt_mde_tpu.evaluate.visualize import compare_depths
     compare_depths(npz, tmp_path / "cmp", stride=2)
     assert len(list((tmp_path / "cmp").glob("*.png"))) == 2
+
+
+@pytest.mark.slow
+def test_model_driven_debug_evaluator(tmp_path):
+    """Full-scope debug evaluation (evaluate_debug.py:77-131 parity):
+    per-frame photometric/smooth losses, trajectory.csv, worst-frame
+    inspection views, and the gt-vs-pred scale inspection mode."""
+    import jax.numpy as jnp
+
+    from xpt_mde_tpu.evaluate.evaluate_debug import (evaluate_for_debug,
+                                                     inspect_batches)
+    from xpt_mde_tpu.models import ModelFactory
+    from xpt_mde_tpu.training import (create_train_state, make_predict_step,
+                                      optimizer_factory)
+
+    loader = synthetic_factory("synthetic", "test", 2)
+    keys = loader.config_keys()
+    model = ModelFactory(keys, NETS, stereo=False,
+                         compute_dtype="float32").get_model()
+    batch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
+    state = create_train_state(model, batch,
+                               optimizer_factory("adam_constant", 1e-4))
+    predict_step = make_predict_step(model)
+
+    out = evaluate_for_debug(state, loader, predict_step,
+                             tmp_path / "debug", worst_n=2)
+    debug_dir = tmp_path / "debug"
+    assert len(out["depth_rows"]) == 4          # 2 batches x batch 2
+    assert len(out["pose_rows"]) == 16          # 4 frames x 4 sources
+    depth_csv = (debug_dir / "debug_depth.csv").read_text()
+    assert depth_csv.startswith("frame,smooth_loss,depth_err")
+    pose_csv = (debug_dir / "debug_pose.csv").read_text()
+    assert pose_csv.startswith("frame,srcidx,photo_loss,trj_err,distance,"
+                               "rot_err")
+    traj_csv = (debug_dir / "trajectory.csv").read_text().splitlines()
+    assert traj_csv[0] == "frame,srcidx,tx_gt,ty_gt,tz_gt,tx_pr,ty_pr,tz_pr"
+    assert len(traj_csv) == 17
+    # photometric losses are finite and positive for an untrained model
+    photo = [r[2] for r in out["pose_rows"]]
+    assert all(np.isfinite(p) for p in photo) and max(photo) > 0
+    for key in ("photo_loss", "trj_err", "rot_err", "smooth_loss"):
+        assert key in out["worst"]
+        assert len(list((debug_dir / f"worst_{key}").glob("*.png"))) == 2
+
+    rows = inspect_batches(state, loader, predict_step, max_batches=1)
+    assert rows and "pose_scale" in rows[0] and "depth_scale" in rows[0]
+    assert np.isfinite(rows[0]["depth_scale"])

@@ -18,13 +18,16 @@ DEPTH_METRIC_NAMES = ["abs_rel", "sq_rel", "rmse", "rmse_log",
 
 
 def valid_depth_filter(depth_pred: np.ndarray, depth_true: np.ndarray,
-                       min_depth: float = 1e-3, max_depth: float = 80.0):
+                       min_depth: float = 1e-3, max_depth: float = 80.0,
+                       return_scale: bool = False):
     """Filter one frame's depths to the valid Garg-cropped pixels, with
     GT-median scaling applied to the prediction.
 
     :param depth_pred: [height, width] (any singleton dims are squeezed)
     :param depth_true: [height, width]
-    :return: (depth_pred[N], depth_true[N])
+    :param return_scale: also return the GT-median scaler (the debug
+        evaluator rescales trajectories by it, evaluate_debug.py:228)
+    :return: (depth_pred[N], depth_true[N][, scaler])
     """
     depth_pred = np.squeeze(np.array(depth_pred, dtype=np.float64))
     depth_true = np.squeeze(np.array(depth_true, dtype=np.float64))
@@ -40,6 +43,8 @@ def valid_depth_filter(depth_pred: np.ndarray, depth_true: np.ndarray,
     depth_pred = depth_pred.copy()
     depth_pred[mask] *= scaler
     depth_pred = np.clip(depth_pred, min_depth, max_depth)
+    if return_scale:
+        return depth_pred[mask], depth_true[mask], scaler
     return depth_pred[mask], depth_true[mask]
 
 

@@ -104,41 +104,111 @@ class TrainingLogger:
 
     def save_reconstruction_samples(self, epoch: int, features: dict,
                                     preds: dict, num: int = 4):
-        """Save target / synthesized / depth panels for visual inspection
-        (logger.py:147-169). Uses the first `num` examples of the batch."""
+        """Save titled reconstruction panels for visual inspection
+        (logger.py:147-169, 208-253): target / depth / source /
+        rigid-synthesized views, plus flow (flow_to_image) and
+        flow-warped views for joint stages and right-target /
+        stereo-cross-synthesized views for stereo stages."""
         try:
             import cv2
-
-            from xpt_mde_tpu.ops.synthesize import synthesize_multi_scale
 
             out_dir = self.ckpt_dir / "reconstruction"
             out_dir.mkdir(exist_ok=True)
             image5d = np.asarray(features["image5d"])
             if "depth_ms" not in preds or "pose" not in preds:
                 return
-            import jax.numpy as jnp
-            synth = np.asarray(synthesize_multi_scale(
-                jnp.asarray(image5d[:, :-1]),
-                jnp.asarray(np.asarray(features["intrinsic"])),
-                [jnp.asarray(np.asarray(preds["depth_ms"][0]))],
-                jnp.asarray(np.asarray(preds["pose"])))[0])
-            depth = np.asarray(preds["depth_ms"][0])
+            views = _reconstruction_views(features, preds)
             for i in range(min(num, image5d.shape[0])):
-                target = image5d[i, -1]
-                source = image5d[i, 0]
-                synth0 = synth[i, 0]
-                dview = depth[i, :, :, 0]
-                dview = (np.clip(dview / 80.0, 0, 1) * 255).astype(np.uint8)
-                dview = cv2.applyColorMap(dview, cv2.COLORMAP_VIRIDIS)
-
-                def to8(img):
-                    return ((np.clip(img, -1, 1) + 1) / 2 * 255).astype(np.uint8)
-
-                panel = np.concatenate(
-                    [to8(target), to8(source), to8(synth0), dview], axis=0)
+                panel = stack_titled_images(
+                    {name: img[i] for name, img in views.items()})
                 cv2.imwrite(str(out_dir / f"ep{epoch:03d}_{i}.png"), panel)
         except Exception as e:
             print(f"[TrainingLogger] recon samples failed: {e}")
+
+
+def _reconstruction_views(features: dict, preds: dict) -> dict:
+    """Per-sample view images [B, h, w, 3] keyed by panel title, mirroring
+    the reference's stack_reconstruction_images (logger.py:208-241)."""
+    import jax.numpy as jnp
+
+    from xpt_mde_tpu.ops.flow_warp import flow_warp_multi_scale
+    from xpt_mde_tpu.ops.synthesize import synthesize_multi_scale
+    from xpt_mde_tpu.utils import se3
+
+    image5d = np.asarray(features["image5d"])
+    intrinsic = jnp.asarray(np.asarray(features["intrinsic"]))
+    source = jnp.asarray(image5d[:, :-1])
+    depth0 = jnp.asarray(np.asarray(preds["depth_ms"][0]))
+    pose = jnp.asarray(np.asarray(preds["pose"]))
+
+    views = {"left_target": image5d[:, -1]}
+    depth = np.asarray(preds["depth_ms"][0])[:, :, :, 0]
+    depth8 = (np.clip(depth / 80.0, 0, 1) * 255).astype(np.uint8)
+    views["target_depth"] = _viridis(depth8)
+    views["source_0"] = image5d[:, 0]
+    synth = np.asarray(synthesize_multi_scale(source, intrinsic,
+                                              [depth0], pose)[0])
+    views["synthesized_from_src0"] = synth[:, 0]
+
+    if "flow_ms" in preds:
+        flow0 = np.asarray(preds["flow_ms"][0])  # [B, N, h/4, w/4, 2]
+        views["flow"] = np.stack(
+            [flow_to_image(flow0[b, 0]) for b in range(flow0.shape[0])])
+        warped = np.asarray(flow_warp_multi_scale(
+            source, [jnp.asarray(flow0)])[0])
+        views["synthesized_by_flow"] = warped[:, 0]
+
+    if "image5d_R" in features and "depth_ms" in preds \
+            and "stereo_T_LR" in features:
+        target_r = jnp.asarray(np.asarray(features["image5d_R"])[:, -1])
+        t_lr = jnp.asarray(np.asarray(features["stereo_T_LR"]))
+        pose_rl = se3.matrix_to_twist(se3.invert_matrix(t_lr))[:, None]
+        stereo_synth = np.asarray(synthesize_multi_scale(
+            target_r[:, None], intrinsic, [depth0], pose_rl)[0])
+        views["right_source"] = np.asarray(target_r)
+        views["synthesized_from_right"] = stereo_synth[:, 0]
+    return views
+
+
+def _viridis(gray8: np.ndarray) -> np.ndarray:
+    import cv2
+    out = np.stack([cv2.applyColorMap(g, cv2.COLORMAP_VIRIDIS)
+                    for g in gray8])
+    return out.astype(np.float32) / 127.5 - 1.0  # back to [-1, 1] float
+
+
+def flow_to_image(flow: np.ndarray) -> np.ndarray:
+    """Optical flow -> RGB in [-1, 1] (reference logger.py:243-253:
+    red/green encode horizontal flow sign, blue the vertical magnitude)."""
+    flow = np.clip(np.asarray(flow, np.float32), -10, 10) / 10
+    height, width, _ = flow.shape
+    image = np.ones((height, width, 3), dtype=np.float32)
+    image[:, :, 0] = 1 - flow[:, :, 0]
+    image[:, :, 1] = 1 + flow[:, :, 0]
+    image[:, :, 2] = 1 - np.abs(flow[:, :, 1])
+    return np.clip(image, -1, 1)
+
+
+def stack_titled_images(views: dict) -> np.ndarray:
+    """Stack [-1,1]-float views vertically with title banners into one
+    uint8 image (util_funcs.py:193-219 role). Views smaller than the
+    first are upscaled to its width."""
+    import cv2
+
+    base_w = views[next(iter(views))].shape[1]
+    panels = []
+    for name, img in views.items():
+        img = np.asarray(img)
+        img8 = ((np.clip(img, -1, 1) + 1) / 2 * 255).astype(np.uint8)
+        if img8.shape[1] != base_w:
+            scale = base_w / img8.shape[1]
+            img8 = cv2.resize(img8, (base_w, int(img8.shape[0] * scale)),
+                              interpolation=cv2.INTER_NEAREST)
+        banner = np.zeros((12, base_w, 3), np.uint8)
+        cv2.putText(banner, name, (2, 9), cv2.FONT_HERSHEY_PLAIN, 0.7,
+                    (255, 255, 255), 1)
+        panels.extend([banner, img8])
+    return np.concatenate(panels, axis=0)
 
 
 def print_progress(msg: str):
