@@ -46,16 +46,18 @@ def test_efficientnet_conversion_matches_keras(keras_b0):
     rng = np.random.RandomState(0)
     x_raw = rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32)
 
-    # keras preprocesses internally (rescale + imagenet normalization);
-    # capture the stem input so both nets see identical tensors
-    norm_layer = None
+    # keras preprocesses internally (Rescaling + Normalization); with
+    # weights=None the Normalization is 0-mean/1-var. Pin it to the
+    # imagenet stats so the conversion path (which reads the layer's
+    # weights into our input_mean/input_var batch_stats) is non-trivial.
+    # finalize_state() refreshes the call-path snapshot keras 3 keeps.
     for layer in model.layers:
-        if "normalization" in layer.name or "rescaling" in layer.name:
-            norm_layer = layer
-    stem_input_model = tf.keras.Model(model.input, norm_layer.output) \
-        if norm_layer is not None else None
-    x_net = stem_input_model(x_raw).numpy() if stem_input_model is not None \
-        else x_raw
+        if type(layer).__name__ == "Normalization":
+            layer.set_weights([np.array([0.485, 0.456, 0.406], np.float32),
+                               np.array([0.229 ** 2, 0.224 ** 2,
+                                         0.225 ** 2], np.float32),
+                               np.array(0, np.int64)])
+            layer.finalize_state()
 
     tap_layers = _keras_tap_layers(model)
     keras_taps = tf.keras.Model(model.input,
@@ -63,11 +65,11 @@ def test_efficientnet_conversion_matches_keras(keras_b0):
     keras_taps = [np.asarray(t) for t in keras_taps]
 
     flax_model = EfficientNet(variant="B0")
-    variables = flax_model.init(jax.random.PRNGKey(0), jnp.asarray(x_net),
+    variables = flax_model.init(jax.random.PRNGKey(0), jnp.asarray(x_raw),
                                 train=False)
     params, stats = convert_efficientnet(model, "B0")
     variables = load_into_variables(variables, params, stats)
-    flax_taps = flax_model.apply(variables, jnp.asarray(x_net), train=False)
+    flax_taps = flax_model.apply(variables, jnp.asarray(x_raw), train=False)
 
     assert len(flax_taps) == 5
     for i, (ours, theirs) in enumerate(zip(flax_taps, keras_taps)):

@@ -79,6 +79,26 @@ def convert_efficientnet(keras_model, variant: str = "B0"):
     params: dict = {}
     stats: dict = {}
 
+    # input normalization: keras Rescaling(1/255) + Normalization
+    # (+ imagenet-only Rescaling(1/sqrt(std)), folded into the variance:
+    # ((x-m)/sqrt(v))*r == (x-m)/sqrt(v/r^2)) -- keras efficientnet.py:325-338
+    mean = np.zeros(3, np.float32)
+    var = np.ones(3, np.float32)
+    for layer in keras_model.layers:
+        cls = type(layer).__name__
+        if cls == "Normalization" and layer.weights:
+            w = {v.name.split("/")[-1].split(":")[0]: np.asarray(v)
+                 for v in layer.weights}
+            mean = w["mean"].reshape(3).astype(np.float32)
+            var = w["variance"].reshape(3).astype(np.float32)
+        elif cls == "Rescaling":
+            scale = np.asarray(layer.get_config()["scale"], np.float32)
+            if scale.ndim == 0 and np.isclose(scale, 1.0 / 255.0):
+                continue  # the standard 0-255 rescale our module applies
+            var = var / scale.reshape(3) ** 2
+    stats["input_mean"] = mean
+    stats["input_var"] = var
+
     # stem
     params["Conv_0"] = _conv(kw, "stem_conv")
     p, s = _bn(kw, "stem_bn")

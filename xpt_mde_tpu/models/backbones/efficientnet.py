@@ -105,7 +105,18 @@ class EfficientNet(nn.Module):
     """EfficientNet encoder; ``variant`` in B0..B7.
 
     Returns [f2, f4, f8, f16, f32] feature maps for input [B, H, W, 3]
-    in [-1, 1].
+    in [-1, 1] (the reference feeds its [-1, 1] floats straight into the
+    keras 0-255 pipeline -- preprocess_input is a pass-through for
+    EfficientNet -- and we reproduce that quirk).
+
+    keras builds preprocessing INTO the model: Rescaling(1/255) +
+    Normalization, plus (imagenet weights only) an extra
+    Rescaling(1/sqrt(std)) (keras efficientnet.py:325-338). The twin is
+    an input normalization with ``batch_stats`` variables input_mean /
+    input_var -- identity-equivalent (0, 1) when training from scratch,
+    and populated by convert_efficientnet (which folds the extra
+    rescaling into input_var) so converted ImageNet weights see exactly
+    the keras stem input.
     """
 
     variant: str = "B5"
@@ -113,6 +124,12 @@ class EfficientNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        in_mean = self.variable("batch_stats", "input_mean",
+                                lambda: jnp.zeros(3, jnp.float32))
+        in_var = self.variable("batch_stats", "input_var",
+                               lambda: jnp.ones(3, jnp.float32))
+        x = (x / 255.0 - in_mean.value) / jnp.sqrt(in_var.value)
+        x = x.astype(self.dtype)
         width_mult, depth_mult = _SCALING[self.variant]
         norm = lambda: nn.BatchNorm(use_running_average=not train,
                                     momentum=0.99, epsilon=1e-3,
