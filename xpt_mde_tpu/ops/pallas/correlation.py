@@ -43,28 +43,35 @@ VMEM_LIMIT_BYTES = 12 * 1024 * 1024
 
 def _corr_kernel(cl_ref, cr_pad_ref, out_ref, *, offsets, height, width,
                  channels):
-    cl = cl_ref[0]  # [H, W, C]
+    """Channel-FIRST layout: cl [1,C,H,W], cr_pad [1,C,H+2md,W+2md],
+    out [1,n_out,H,W]. W rides the 128-lane dim and each displacement
+    writes a whole [H, W] plane (the channel-last variant stored one lane
+    per displacement -- measured 2.8x slower than XLA; this one is not).
+    The channel reduction runs over the leading dim: cheap sublane adds.
+    """
+    cl = cl_ref[0].astype(jnp.float32)  # [C, H, W]
     md = max(abs(o) for o in offsets) if offsets else 0
     k = 0
     for dy in offsets:
         for dx in offsets:
-            win = cr_pad_ref[0, md + dy: md + dy + height,
-                             md + dx: md + dx + width, :]
-            out_ref[0, :, :, k] = jnp.mean(cl * win, axis=-1)
+            win = cr_pad_ref[0, :, md + dy: md + dy + height,
+                             md + dx: md + dx + width].astype(jnp.float32)
+            out_ref[0, k] = (jnp.sum(cl * win, axis=0)
+                             / channels).astype(out_ref.dtype)
             k += 1
 
 
 def _corr_grad_cl_kernel(g_ref, cr_pad_ref, out_ref, *, offsets, height,
                          width, channels):
-    """dcl = 1/C * sum_k g[..., k] * shifted(cr)."""
+    """dcl[c] = 1/C * sum_k g[k] * shifted(cr)[c]; all channel-first."""
     md = max(abs(o) for o in offsets) if offsets else 0
-    acc = jnp.zeros((height, width, channels), jnp.float32)
+    acc = jnp.zeros((channels, height, width), jnp.float32)
     k = 0
     for dy in offsets:
         for dx in offsets:
-            win = cr_pad_ref[0, md + dy: md + dy + height,
-                             md + dx: md + dx + width, :]
-            acc += g_ref[0, :, :, k:k + 1].astype(jnp.float32) \
+            win = cr_pad_ref[0, :, md + dy: md + dy + height,
+                             md + dx: md + dx + width]
+            acc += g_ref[0, k][None].astype(jnp.float32) \
                 * win.astype(jnp.float32)
             k += 1
     out_ref[0] = (acc / channels).astype(out_ref.dtype)
@@ -72,21 +79,22 @@ def _corr_grad_cl_kernel(g_ref, cr_pad_ref, out_ref, *, offsets, height,
 
 def _corr_grad_cr_kernel(g_pad_ref, cl_pad_ref, out_ref, *, offsets, height,
                          width, channels):
-    """dcr[u,v,c] = 1/C * sum_k (g*cl)[u-dy_k, v-dx_k, c].
+    """dcr[c,u,v] = 1/C * sum_k (g[k]*cl[c])[u-dy_k, v-dx_k].
 
     g and cl arrive padded by md so every backward shift is a static
-    in-bounds slice (pad-of-product == product-of-pads).
+    in-bounds slice (pad-of-product == product-of-pads). Channel-first.
     """
     md = max(abs(o) for o in offsets) if offsets else 0
-    acc = jnp.zeros((height, width, channels), jnp.float32)
+    acc = jnp.zeros((channels, height, width), jnp.float32)
     k = 0
     for dy in offsets:
         for dx in offsets:
-            gwin = g_pad_ref[0, md - dy: md - dy + height,
-                             md - dx: md - dx + width, k:k + 1]
-            clwin = cl_pad_ref[0, md - dy: md - dy + height,
-                               md - dx: md - dx + width, :]
-            acc += gwin.astype(jnp.float32) * clwin.astype(jnp.float32)
+            gwin = g_pad_ref[0, k, md - dy: md - dy + height,
+                             md - dx: md - dx + width]
+            clwin = cl_pad_ref[0, :, md - dy: md - dy + height,
+                               md - dx: md - dx + width]
+            acc += gwin[None].astype(jnp.float32) \
+                * clwin.astype(jnp.float32)
             k += 1
     out_ref[0] = (acc / channels).astype(out_ref.dtype)
 
@@ -102,18 +110,21 @@ def _corr_forward(cl, cr, offsets, interpret):
     batch, height, width, channels = cl.shape
     md = max(abs(o) for o in offsets) if offsets else 0
     n_out = len(offsets) ** 2
-    cr_pad = jnp.pad(cr, ((0, 0), (md, md), (md, md), (0, 0)))
+    clf = jnp.transpose(cl, (0, 3, 1, 2))  # [B, C, H, W]
+    crf = jnp.transpose(cr, (0, 3, 1, 2))
+    cr_pad = jnp.pad(crf, ((0, 0), (0, 0), (md, md), (md, md)))
     kernel = functools.partial(_corr_kernel, offsets=offsets, height=height,
                                width=width, channels=channels)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(batch,),
-        in_specs=_frame_specs([cl.shape[1:], cr_pad.shape[1:]], cl.dtype),
-        out_specs=_frame_specs([(height, width, n_out)], cl.dtype)[0],
-        out_shape=jax.ShapeDtypeStruct((batch, height, width, n_out),
+        in_specs=_frame_specs([clf.shape[1:], cr_pad.shape[1:]], cl.dtype),
+        out_specs=_frame_specs([(n_out, height, width)], cl.dtype)[0],
+        out_shape=jax.ShapeDtypeStruct((batch, n_out, height, width),
                                        cl.dtype),
         interpret=interpret,
-    )(cl, cr_pad)
+    )(clf, cr_pad)
+    return jnp.transpose(out, (0, 2, 3, 1))  # [B, H, W, n_out]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -129,35 +140,40 @@ def _corr_pallas_bwd(offsets, interpret, residuals, g):
     cl, cr = residuals
     batch, height, width, channels = cl.shape
     md = max(abs(o) for o in offsets) if offsets else 0
-    pad = ((0, 0), (md, md), (md, md), (0, 0))
+    pad = ((0, 0), (0, 0), (md, md), (md, md))  # channel-first pad
+
+    clf = jnp.transpose(cl, (0, 3, 1, 2))  # [B, C, H, W]
+    crf = jnp.transpose(cr, (0, 3, 1, 2))
+    gf = jnp.transpose(g, (0, 3, 1, 2))    # [B, n_out, H, W]
 
     cl_kernel = functools.partial(_corr_grad_cl_kernel, offsets=offsets,
                                   height=height, width=width,
                                   channels=channels)
-    cr_pad = jnp.pad(cr, pad)
+    cr_pad = jnp.pad(crf, pad)
     dcl = pl.pallas_call(
         cl_kernel,
         grid=(batch,),
-        in_specs=_frame_specs([g.shape[1:], cr_pad.shape[1:]], cl.dtype),
-        out_specs=_frame_specs([cl.shape[1:]], cl.dtype)[0],
-        out_shape=jax.ShapeDtypeStruct(cl.shape, cl.dtype),
+        in_specs=_frame_specs([gf.shape[1:], cr_pad.shape[1:]], cl.dtype),
+        out_specs=_frame_specs([clf.shape[1:]], cl.dtype)[0],
+        out_shape=jax.ShapeDtypeStruct(clf.shape, cl.dtype),
         interpret=interpret,
-    )(g, cr_pad)
+    )(gf, cr_pad)
 
     cr_kernel = functools.partial(_corr_grad_cr_kernel, offsets=offsets,
                                   height=height, width=width,
                                   channels=channels)
-    g_pad = jnp.pad(g, pad)
-    cl_pad = jnp.pad(cl, pad)
+    g_pad = jnp.pad(gf, pad)
+    cl_pad = jnp.pad(clf, pad)
     dcr = pl.pallas_call(
         cr_kernel,
         grid=(batch,),
         in_specs=_frame_specs([g_pad.shape[1:], cl_pad.shape[1:]], cl.dtype),
-        out_specs=_frame_specs([cr.shape[1:]], cr.dtype)[0],
-        out_shape=jax.ShapeDtypeStruct(cr.shape, cr.dtype),
+        out_specs=_frame_specs([crf.shape[1:]], cr.dtype)[0],
+        out_shape=jax.ShapeDtypeStruct(crf.shape, cr.dtype),
         interpret=interpret,
     )(g_pad, cl_pad)
-    return dcl, dcr
+    return (jnp.transpose(dcl, (0, 2, 3, 1)),
+            jnp.transpose(dcr, (0, 2, 3, 1)))
 
 
 _corr_pallas.defvjp(_corr_pallas_fwd, _corr_pallas_bwd)
