@@ -139,6 +139,16 @@ def bench_bilinear_warp():
     dt = timeit(fn, image, coords)
     report("bilinear_warp_xla_b8x4_128x512", dt)
 
+    if jax.default_backend() == "cpu":
+        return
+    from xpt_mde_tpu.ops.pallas.warp import bilinear_sample_const_src
+    for fast, tag in ((False, "exact"), (True, "bf16")):
+        pfn = jax.jit(lambda i, c, f=fast: bilinear_sample_const_src(
+            i, c, fast=f))
+        dt_p = timeit(pfn, image, coords)
+        report(f"bilinear_warp_pallas_{tag}_b8x4_128x512", dt_p,
+               {"speedup_vs_xla": round(dt / dt_p, 2)})
+
 
 if __name__ == "__main__":
     bench_bilinear_warp()

@@ -185,8 +185,14 @@ class Config:
     compute_dtype: str = "bfloat16"  # MXU-native; "float32" for parity checks
     train_mode: str = "jit"  # "eager" | "jit" | "distributed"
     # full-res warp gather storage: "float32" (parity) or "bfloat16"
-    # (~15 ms/step faster; image values quantize to ~3 decimal digits)
+    # (halves the packed-patch HBM footprint; measured r2: does NOT
+    # change gather time -- the TPU gather costs ~14ns/index regardless)
     warp_gather_dtype: str = "float32"
+    # view-synthesis warp backend on TPU: "pallas" (gather-free MXU
+    # kernel; ~2e-3 image-value error -- below the 1/255 uint8 source
+    # quantization -- at ~3.5x the XLA gather), "pallas_exact" (3-term
+    # bf16 split, ~2e-7, ~1.2x), or "xla" (bit-exact patch gather)
+    warp_kernel: str = "pallas"
 
     # augmentation probabilities (reference: config-example.py:208-210)
     augment_probs: Mapping[str, float] = field(default_factory=lambda: {

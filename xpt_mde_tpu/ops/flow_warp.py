@@ -32,16 +32,19 @@ def flow_to_pixel_coords(flow: jnp.ndarray) -> jnp.ndarray:
     return uvgrid - uvflow
 
 
-def flow_bilinear_sample(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+def flow_bilinear_sample(image: jnp.ndarray, flow: jnp.ndarray,
+                         const_src: bool = False) -> jnp.ndarray:
     """Warp ``image`` by a dense flow field (dense_image_warp equivalent).
 
     :param image: [batch*numsrc, height, width, C]
     :param flow: [batch*numsrc, height, width, 2(u,v)]
+    :param const_src: image is never differentiated (loss-side warps of
+        data frames; NOT PWC-Net's feature warps, which need image grads)
     :return: [batch*numsrc, height, width, C]
     """
     feat = image[:, None]
     coords = flow_to_pixel_coords(flow[:, None])
-    warped = bilinear_sample(feat, coords)
+    warped = bilinear_sample(feat, coords, const_src=const_src)
     return warped[:, 0]
 
 
@@ -60,6 +63,6 @@ def flow_warp_multi_scale(source_image: jnp.ndarray,
         height_sc, width_sc = flow.shape[2:4]
         src_sc = resize_image(flat_src, height_sc, width_sc, "bilinear")
         flow_flat = flow.reshape(batch * numsrc, height_sc, width_sc, 2)
-        warped = flow_bilinear_sample(src_sc, flow_flat)
+        warped = flow_bilinear_sample(src_sc, flow_flat, const_src=True)
         warped_ms.append(warped.reshape(batch, numsrc, height_sc, width_sc, chans))
     return warped_ms

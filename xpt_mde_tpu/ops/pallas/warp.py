@@ -1,0 +1,299 @@
+"""Pallas TPU kernel: gather-free bilinear warp for constant source images.
+
+The view-synthesis warp (reference semantics:
+/root/reference/model/synthesize/bilinear_interp.py:34-147) samples the
+*source image* — training data, never differentiated — at coordinates
+produced by depth + pose reprojection. XLA lowers per-pixel sampling to
+an HBM gather measured at ~14 ns/index on this chip regardless of
+operand dtype (benchmarks/probe_gather.py): ~30 ms of an ~83 ms train
+step. Mosaic's ``dynamic_gather`` is worse (~5 Gelem/s, 128-lane tables
+only). This kernel does the sampling with NO gather at all:
+
+  column select (MXU):  A[r, p] = sum_q img[r, q] * M_u[q, p]
+      where M_u is an in-VMEM one-hot-with-weights matrix
+      (w_u at u_f, 1-w_u at u_f+1) — a [W, NPIX] matmul per tile;
+  row select (VPU):     out[p] = sum_r M_v[r, p] * A[r, p]
+      with M_v carrying w_v at v_f, 1-w_v at v_f+1 and the validity.
+
+The selection matrices are PURE one-hots (E_f at u_f, E_c at u_f+1) —
+exact in bf16 — and the f32 bilinear weights are applied on the VPU
+after the matmuls, so the only rounding carrier is the image operand:
+the default mode splits it into three exact bf16 terms (all 24 f32
+mantissa bits, ~1e-7 residual); ``fast=True`` keeps one term (~2e-3 on
+[-1,1] images). Mosaic's Precision.HIGHEST dot would also be exact but
+measured 5x slower than these single-pass bf16 dots. Measured
+(benchmarks/check_pallas_warp_tpu.py, 32 frames of 128x512x3, v5e):
+fast 4.9 ms vs 32 ms XLA patch gather.
+
+Exact bilinear semantics (clipped neighbors, ceil!=floor+1 -> invalid,
+zero-depth mask, black invalid pixels) — same contract as
+ops.warp.bilinear_sample, which stays the general differentiable
+sampler and the semantic reference.
+
+Training: a ``jax.custom_vjp`` whose forward also emits, per channel,
+the row-selected values J_f/J_c (A at v_f / v_f+1) and the column
+difference values D_f/D_c (rows v_f / v_f+1 of P_c - P_f — free, no
+extra matmul). The backward pass is then pure elementwise XLA:
+
+    d out/d u = valid * (w_v * D_f + (1-w_v) * D_c)
+    d out/d v = valid * (J_c - J_f)
+
+THE COTANGENT W.R.T. THE SOURCE IMAGE IS ZERO BY CONSTRUCTION — callers
+must only use this op on images that are not differentiated (the
+synthesis and flow-warp losses warp ``features["image5d"]``). That is
+what makes the no-scatter backward possible.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_NPIX = 1024         # pixels per grid tile (M_u stays <= 4 MB f32)
+
+VMEM_LIMIT_BYTES = 12 * 1024 * 1024
+
+# flipped to True by tests running on CPU
+_INTERPRET = {"on": False}
+
+
+def _dot1(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _split_img(img, fast):
+    """Split a f32 image into exact bf16 terms (sum == img to f32).
+
+    The selection matmuls run against PURE one-hot matrices (exact in
+    bf16), so the image operand is the only precision carrier: 3 bf16
+    terms reconstruct all 24 f32 mantissa bits (~1e-7 residual); fast
+    mode keeps one term (~2e-3 on [-1,1] images). bf16 storage keeps
+    VMEM small and every dot a single-pass bf16 MXU op."""
+    if fast:
+        return (img.astype(jnp.bfloat16),)
+    h = img.astype(jnp.bfloat16)
+    r = img - h.astype(jnp.float32)
+    m = r.astype(jnp.bfloat16)
+    l = (r - m.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (h, m, l)
+
+
+def _dot_terms(img_terms, onehot):
+    """sum_t term @ onehot — an exact (up to the split residual) MXU
+    column-gather: every operand is exactly representable in bf16."""
+    acc = _dot1(img_terms[0], onehot)
+    for t in img_terms[1:]:
+        acc = acc + _dot1(t, onehot)
+    return acc
+
+
+# stacked output slots: out, J_f, J_c, D_f, D_c
+_SLOTS = 5
+
+
+def _warp_kernel(img_ref, u_ref, v_ref, mask_ref, out_ref, *,
+                 height, width, channels, use_mask, with_grads, fast):
+    u = u_ref[0, 0]      # [1, NPIX]
+    v = v_ref[0, 0]
+    uf0 = jnp.floor(u)
+    uc = jnp.clip(uf0 + 1.0, 0.0, width - 1)
+    uf = jnp.clip(uf0, 0.0, width - 1)
+    vf0 = jnp.floor(v)
+    vc = jnp.clip(vf0 + 1.0, 0.0, height - 1)
+    vf = jnp.clip(vf0, 0.0, height - 1)
+    valid = (uf + 1.0 == uc) & (vf + 1.0 == vc)
+    if use_mask:
+        valid = valid & (mask_ref[0, 0] != 0)
+    w_u = uc - u
+    w_v = vc - v
+    ufi = uf.astype(jnp.int32)
+    vfi = vf.astype(jnp.int32)
+    # PURE one-hot selection matrices (exact in bf16); the f32 bilinear
+    # weights are applied on the VPU after the matmuls, so they carry no
+    # rounding at all
+    cols = jax.lax.broadcasted_iota(jnp.int32, (width, _NPIX), 0)
+    e_f = jnp.where(cols == ufi, 1.0, 0.0).astype(jnp.bfloat16)
+    e_c = jnp.where(cols == ufi + 1, 1.0, 0.0).astype(jnp.bfloat16)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (height, _NPIX), 0)
+    mf = jnp.where(rows == vfi, 1.0, 0.0)
+    mc = jnp.where(rows == vfi + 1, 1.0, 0.0)
+    for c in range(channels):
+        img_terms = _split_img(img_ref[0, c].astype(jnp.float32), fast)
+        p_f = _dot_terms(img_terms, e_f)             # [H, NPIX] f32
+        p_c = _dot_terms(img_terms, e_c)
+        a = w_u * p_f + (1.0 - w_u) * p_c
+        j_f = jnp.sum(mf * a, axis=0)[None]
+        j_c = jnp.sum(mc * a, axis=0)[None]
+        out = jnp.where(valid, w_v * j_f + (1.0 - w_v) * j_c, 0.0)
+        out_ref[0, c, 0, 0:1] = out
+        if with_grads:
+            d = p_c - p_f
+            out_ref[0, c, 0, 1:2] = j_f
+            out_ref[0, c, 0, 2:3] = j_c
+            out_ref[0, c, 0, 3:4] = jnp.sum(mf * d, axis=0)[None]
+            out_ref[0, c, 0, 4:5] = jnp.sum(mc * d, axis=0)[None]
+
+
+def _prep(image, pixel_coords, valid_mask):
+    batch, numsrc, height, width, channels = image.shape
+    bn = batch * numsrc
+    ntiles = height * width // _NPIX
+    img_t = jnp.transpose(image, (0, 1, 4, 2, 3)).reshape(
+        bn, channels, height, width)
+    coords = pixel_coords.reshape(batch, numsrc, -1, height * width)
+    u = coords[:, :, 0].reshape(bn, ntiles, 1, _NPIX)
+    v = coords[:, :, 1].reshape(bn, ntiles, 1, _NPIX)
+    if valid_mask is not None:
+        mask = jnp.broadcast_to(
+            valid_mask.reshape(batch, 1, height * width),
+            (batch, numsrc, height * width)).reshape(
+                bn, ntiles, 1, _NPIX).astype(jnp.float32)
+    else:
+        mask = jnp.zeros((bn, 1, 1, _NPIX), jnp.float32)
+    return img_t, u, v, mask
+
+
+def _call_kernel(image, pixel_coords, valid_mask, with_grads, fast):
+    batch, numsrc, height, width, channels = image.shape
+    use_mask = valid_mask is not None
+    img_t, u, v, mask = _prep(image, pixel_coords, valid_mask)
+    bn = batch * numsrc
+    ntiles = height * width // _NPIX
+    kernel = functools.partial(
+        _warp_kernel, height=height, width=width, channels=channels,
+        use_mask=use_mask, with_grads=with_grads, fast=fast)
+    slots = _SLOTS if with_grads else 1
+    mask_spec = (pl.BlockSpec((1, 1, 1, _NPIX),
+                              lambda b, t: (b, t, 0, 0)) if use_mask
+                 else pl.BlockSpec((1, 1, 1, _NPIX),
+                                   lambda b, t: (b, 0, 0, 0)))
+    # single stacked f32 output [bn, C, nt, slots, NPIX]: slot 0 is the
+    # warped view; slots 1-4 (training) are J_f, J_c, D_f, D_c
+    out = pl.pallas_call(
+        kernel,
+        grid=(bn, ntiles),
+        in_specs=[
+            pl.BlockSpec((1, channels, height, width),
+                         lambda b, t: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, _NPIX), lambda b, t: (b, t, 0, 0)),
+            pl.BlockSpec((1, 1, 1, _NPIX), lambda b, t: (b, t, 0, 0)),
+            mask_spec,
+        ],
+        out_specs=pl.BlockSpec((1, channels, 1, slots, _NPIX),
+                               lambda b, t: (b, 0, t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (bn, channels, ntiles, slots, _NPIX), jnp.float32),
+        interpret=_INTERPRET["on"],
+    )(img_t, u, v, mask)
+    return [out[:, :, :, k] for k in range(slots)]
+
+
+def _to_bnhwc(x, batch, numsrc, height, width):
+    bn, channels = x.shape[0], x.shape[1]
+    return jnp.transpose(
+        x.reshape(batch, numsrc, channels, height, width), (0, 1, 3, 4, 2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _warp_const(image, pixel_coords, mask_arg, use_mask, fast):
+    out, = _call_kernel(image, pixel_coords,
+                        mask_arg if use_mask else None,
+                        with_grads=False, fast=fast)
+    b, n, h, w, _ = image.shape
+    return _to_bnhwc(out, b, n, h, w).astype(image.dtype)
+
+
+def _warp_const_fwd(image, pixel_coords, mask_arg, use_mask, fast):
+    outs = _call_kernel(image, pixel_coords,
+                        mask_arg if use_mask else None,
+                        with_grads=True, fast=fast)
+    out, j_f, j_c, d_f, d_c = outs
+    b, n, h, w, _ = image.shape
+    res = (tuple(_to_bnhwc(x, b, n, h, w) for x in (j_f, j_c, d_f, d_c)),
+           pixel_coords, mask_arg,
+           jax.ShapeDtypeStruct(image.shape, image.dtype))
+    return _to_bnhwc(out, b, n, h, w).astype(image.dtype), res
+
+
+def _warp_const_bwd(use_mask, fast, res, g):
+    (j_f, j_c, d_f, d_c), pixel_coords, mask_arg, img_sd = res
+    batch, numsrc, height, width, _ = img_sd.shape
+    hw = height * width
+    u = pixel_coords[:, :, 0]
+    v = pixel_coords[:, :, 1]
+    uf0 = jnp.floor(u)
+    uc = jnp.clip(uf0 + 1.0, 0.0, width - 1)
+    uf = jnp.clip(uf0, 0.0, width - 1)
+    vf0 = jnp.floor(v)
+    vc = jnp.clip(vf0 + 1.0, 0.0, height - 1)
+    vf = jnp.clip(vf0, 0.0, height - 1)
+    valid = (uf + 1.0 == uc) & (vf + 1.0 == vc)
+    if use_mask:
+        valid = valid & (mask_arg.reshape(batch, 1, hw) != 0)
+    valid = valid.astype(jnp.float32)           # [B, N, HW]
+    w_v = (vc - v).reshape(batch, numsrc, height, width, 1)
+    g32 = g.astype(jnp.float32)
+    du = jnp.sum(g32 * (w_v * d_f + (1.0 - w_v) * d_c), axis=-1)
+    dv = jnp.sum(g32 * (j_c - j_f), axis=-1)    # [B, N, H, W]
+    du = (du.reshape(batch, numsrc, hw) * valid)[:, :, None]
+    dv = (dv.reshape(batch, numsrc, hw) * valid)[:, :, None]
+    dcoords = jnp.concatenate([du, dv], axis=2)
+    if pixel_coords.shape[2] > 2:  # homogeneous row: no gradient
+        dcoords = jnp.concatenate([dcoords, jnp.zeros_like(du)], axis=2)
+    dimage = jnp.zeros(img_sd.shape, img_sd.dtype)
+    dmask = jnp.zeros_like(mask_arg)
+    return dimage, dcoords.astype(pixel_coords.dtype), dmask
+
+
+_warp_const.defvjp(_warp_const_fwd, _warp_const_bwd)
+
+
+def bilinear_sample_const_src(image: jnp.ndarray,
+                              pixel_coords: jnp.ndarray,
+                              valid_mask: jnp.ndarray | None = None,
+                              fast: bool = False,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Gather-free Pallas twin of ops.warp.bilinear_sample for source
+    images that are NOT differentiated (zero image cotangent).
+
+    :param image: [batch, numsrc, height, width, channels]
+    :param pixel_coords: (u, v[, 1]) [batch, numsrc, 2 or 3, height*width]
+    :param valid_mask: optional [batch, height, width, 1]; zero = invalid
+    :param fast: single-pass bf16 MXU dots (~3.5e-3 abs error) instead of
+        Precision.HIGHEST
+    :return: [batch, numsrc, height, width, channels]
+    """
+    _INTERPRET["on"] = interpret
+    use_mask = valid_mask is not None
+    mask_arg = (valid_mask if use_mask
+                else jnp.zeros((image.shape[0], image.shape[2],
+                                image.shape[3], 1), jnp.float32))
+    return _warp_const(image, pixel_coords, mask_arg, use_mask, fast)
+
+
+def _vmem_bytes(height, width, channels):
+    # frame + M_u/M_du + A/D + masks/temps, all f32
+    return (channels * height * width * 4
+            + 2 * width * _NPIX * 4
+            + 2 * height * _NPIX * 4
+            + 3 * max(height, width) * _NPIX * 4)
+
+
+def supported(image_shape, fast: bool = False) -> bool:
+    """Whether the kernel handles this shape within VMEM and the matmul
+    formulation is profitable. MACs grow with H*W per output pixel: in
+    exact (split) mode the high-res 256x1024 full scale falls back to
+    the XLA gather; the single-pass fast mode still wins there
+    (~25 ms est. vs ~59 ms of gather)."""
+    _, _, height, width, channels = image_shape
+    if (height * width) % _NPIX or width % 128 or height % 8:
+        return False
+    if _vmem_bytes(height, width, channels) > VMEM_LIMIT_BYTES:
+        return False
+    limit = (256 * 1024 * 3) if fast else (128 * 512 * 3)
+    return height * width * channels <= limit

@@ -30,7 +30,10 @@ def synthesize_single_scale(source_image: jnp.ndarray, intrinsic: jnp.ndarray,
     :return: [batch, numsrc, height_sc, width_sc, 3]
     """
     src_pixel_coords = reproject_pixel_coords(depth, pose_matr, intrinsic)
-    return bilinear_sample(source_image, src_pixel_coords, valid_mask=depth)
+    # source frames are training data, never differentiated -> the
+    # gather-free const-src Pallas warp is eligible on TPU
+    return bilinear_sample(source_image, src_pixel_coords, valid_mask=depth,
+                           const_src=True)
 
 
 def synthesize_multi_scale(source_image: jnp.ndarray, intrinsic: jnp.ndarray,

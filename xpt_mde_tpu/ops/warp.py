@@ -36,10 +36,11 @@ import jax.numpy as jnp
 ONEHOT_MAX_PIXELS = 32 * 128 + 1
 ONEHOT_MAX_CHANNELS = 8
 
-# optional reduced-precision gather: the full-res patch gather is random
-# 256B-row HBM traffic (~25 ms/step at f32); bf16 halves it. Off by
-# default -- image values quantize to ~3 decimal digits, a parity
-# tradeoff the user must opt into (Config.warp_gather_dtype).
+# optional reduced-precision gather storage (Config.warp_gather_dtype).
+# r2 measurement (benchmarks/probe_gather.py P4): the TPU gather costs
+# ~14 ns/index regardless of operand dtype, so bf16 does NOT speed the
+# gather up -- it only halves the packed-patch HBM footprint. Kept as a
+# memory knob; not a throughput knob.
 GATHER_DTYPE = None  # None = operand dtype; jnp.bfloat16 to opt in
 
 
@@ -139,8 +140,27 @@ def _sample_patch_gather(image, ints, weights):
     return out.reshape(batch, numsrc, height, width, channels)
 
 
+# const-src Pallas routing (ops/pallas/warp.py): the gather-free
+# MXU/VPU kernel. Only for warps whose image operand is never
+# differentiated (its image cotangent is zero). Fast mode (default,
+# single bf16 image term, exact selections + f32 weights) carries
+# ~2e-3 value error -- BELOW the uint8 quantization step (1/255) of the
+# source images it samples -- at ~3.5x the XLA gather; exact mode
+# (3-term bf16 split, ~2e-7) is ~1.2x. Config.warp_kernel selects.
+CONST_SRC_PALLAS = True
+CONST_SRC_FAST = True
+
+
+def set_const_src_pallas(enabled: bool, fast: bool = False) -> None:
+    """Toggle the const-src Pallas warp path (Config.warp_kernel)."""
+    global CONST_SRC_PALLAS, CONST_SRC_FAST
+    CONST_SRC_PALLAS = enabled
+    CONST_SRC_FAST = fast
+
+
 def bilinear_sample(image: jnp.ndarray, pixel_coords: jnp.ndarray,
-                    valid_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+                    valid_mask: jnp.ndarray | None = None,
+                    const_src: bool = False) -> jnp.ndarray:
     """Sample ``image`` at floating-point ``pixel_coords``.
 
     :param image: source images [batch, numsrc, height, width, channels]
@@ -148,9 +168,19 @@ def bilinear_sample(image: jnp.ndarray, pixel_coords: jnp.ndarray,
         pixel coordinates into the *source* image for every *target* pixel
     :param valid_mask: optional [batch, height, width, 1]; zero entries are
         invalid target pixels (e.g. zero-depth)
+    :param const_src: promise that ``image`` is never differentiated
+        (training data); enables the gather-free Pallas kernel on TPU
     :return: reconstructed target view [batch, numsrc, height, width, channels]
     """
     height, width, channels = image.shape[2], image.shape[3], image.shape[4]
+    if (height * width > ONEHOT_MAX_PIXELS
+            or channels > ONEHOT_MAX_CHANNELS) \
+            and const_src and CONST_SRC_PALLAS \
+            and jax.default_backend() != "cpu":
+        from xpt_mde_tpu.ops.pallas import warp as pallas_warp
+        if pallas_warp.supported(image.shape, fast=CONST_SRC_FAST):
+            return pallas_warp.bilinear_sample_const_src(
+                image, pixel_coords, valid_mask, fast=CONST_SRC_FAST)
     ints, weights = _neighbor_weights(image, pixel_coords, valid_mask)
     if (height * width <= ONEHOT_MAX_PIXELS
             and channels <= ONEHOT_MAX_CHANNELS):

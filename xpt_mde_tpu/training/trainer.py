@@ -76,9 +76,12 @@ class StageRuntime:
             self.val_loader = None
         dataset_keys = self._loader_keys(self.train_loader)
 
+        from xpt_mde_tpu.ops import warp as warp_ops
         if cfg.warp_gather_dtype == "bfloat16":
-            from xpt_mde_tpu.ops import warp as warp_ops
             warp_ops.set_gather_dtype(jnp.bfloat16)
+        warp_ops.set_const_src_pallas(
+            cfg.warp_kernel != "xla",
+            fast=cfg.warp_kernel in ("pallas", "pallas_fast"))
 
         factory = ModelFactory(dataset_keys, stage.net_names,
                                cfg.depth_activation, stereo=cfg.stereo,
