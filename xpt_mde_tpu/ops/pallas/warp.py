@@ -286,14 +286,14 @@ def _vmem_bytes(height, width, channels):
 
 def supported(image_shape, fast: bool = False) -> bool:
     """Whether the kernel handles this shape within VMEM and the matmul
-    formulation is profitable. MACs grow with H*W per output pixel: in
-    exact (split) mode the high-res 256x1024 full scale falls back to
-    the XLA gather; the single-pass fast mode still wins there
-    (~25 ms est. vs ~59 ms of gather)."""
+    formulation is profitable. The matmul cost per output pixel grows
+    with H*W (2 dots over the full frame width), so the high-res
+    256x1024 full scale (~64 ms of MACs vs ~59 ms of gather) stays on
+    the XLA path; every scale at or below 128x512 wins clearly."""
     _, _, height, width, channels = image_shape
+    del fast
     if (height * width) % _NPIX or width % 128 or height % 8:
         return False
     if _vmem_bytes(height, width, channels) > VMEM_LIMIT_BYTES:
         return False
-    limit = (256 * 1024 * 3) if fast else (128 * 512 * 3)
-    return height * width * channels <= limit
+    return height * width * channels <= 128 * 512 * 3
