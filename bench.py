@@ -32,7 +32,9 @@ BATCH = int(_os.environ.get("BENCH_BATCH", 8))
 HEIGHT = int(_os.environ.get("BENCH_HEIGHT", 128))
 WIDTH = int(_os.environ.get("BENCH_WIDTH", 512))
 # rigid (depth+pose, the headline) | joint (adds PWC-Net flow + cmb losses,
-# the TRAINING_PLAN_28 fine-tune stage)
+# the TRAINING_PLAN_28 fine-tune stage) | stereo (the "MS" training the
+# published Table-4 numbers come from: _R views re-run + stereo depth +
+# stereo pose losses)
 STAGE = _os.environ.get("BENCH_STAGE", "rigid")
 WARMUP_STEPS = 3
 SHORT_STEPS = 3
@@ -58,17 +60,32 @@ def main():
     nets = {"depth": "EfficientNetB5", "camera": "PoseNetImproved"}
     recipe = {"L1": 0.5, "SSIM": 0.5, "smoothe": 20.0}
     frozen = []
+    stereo = STAGE == "stereo"
+    keys = ["image", "intrinsic"]
     if STAGE == "joint":
         nets["flow"] = "PWCNet"
         recipe = {"cmbL1": 5.0, "cmbSSIM": 0.5, "smoothe": 20.0}
         frozen = ["flownet"]  # joint stages freeze the flownet
+    elif stereo:
+        # the reference's MS recipe (LOSS_RIGID_T2-style + stereo terms)
+        recipe = {"L1": 0.5, "SSIM": 0.5, "smoothe": 20.0,
+                  "L1_R": 0.5, "SSIM_R": 0.5, "smoothe_R": 20.0,
+                  "stereoL1": 0.01, "stereoPose": 1.0}
+        keys += ["image_R", "intrinsic_R", "stereo_T_LR"]
+        features["image5d_R"] = jnp.asarray(
+            rng.rand(BATCH, 5, HEIGHT, WIDTH, 3).astype(np.float32) * 2 - 1)
+        features["intrinsic_R"] = features["intrinsic"]
+        t_lr = np.eye(4, dtype=np.float32)
+        t_lr[0, 3] = -0.54  # KITTI-ish baseline
+        features["stereo_T_LR"] = jnp.asarray(
+            np.tile(t_lr, (BATCH, 1, 1)))
 
-    factory = ModelFactory(["image", "intrinsic"], nets,
-                           stereo=False, high_res=(HEIGHT > 128),
+    factory = ModelFactory(keys, nets,
+                           stereo=stereo, high_res=(HEIGHT > 128),
                            compute_dtype="bfloat16")
     model = factory.get_model()
-    total_loss = loss_factory(["image", "intrinsic"], recipe,
-                              cfg.SCALE_WEIGHT_T1, stereo=False,
+    total_loss = loss_factory(keys, recipe,
+                              cfg.SCALE_WEIGHT_T1, stereo=stereo,
                               batch_size=BATCH)
     tx = optimizer_factory("adam_constant", 1e-4, frozen_nets=frozen)
     state = create_train_state(model, features, tx)
