@@ -47,12 +47,16 @@ what makes the no-scatter backward possible.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-_NPIX = 1024         # pixels per grid tile (M_u stays <= 4 MB f32)
+# pixels per grid tile; 1024 keeps the one-hots at 1 MB bf16 and
+# measured best on v5e (512 and 2048 within noise — tunable for other
+# generations via XPT_WARP_NPIX)
+_NPIX = int(os.environ.get("XPT_WARP_NPIX", "1024"))
 
 VMEM_LIMIT_BYTES = 12 * 1024 * 1024
 
