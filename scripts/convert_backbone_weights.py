@@ -7,7 +7,9 @@ behavior, config-example.py:46).
 
     python scripts/convert_backbone_weights.py EfficientNetB5 /data/xpt_mde_tpu
 
-writes /data/xpt_mde_tpu/pretrained/EfficientNetB5.msgpack.
+writes /data/xpt_mde_tpu/pretrained/EfficientNetB5.msgpack. Supports the
+full zoo (EfficientNetB0-B7, ResNet50V2, DenseNet121, MobileNetV2,
+VGG16, Xception, NASNetMobile, NASNetLarge).
 """
 
 import sys
@@ -20,14 +22,15 @@ def convert(net_name: str, datapath: str, weights: str = "imagenet"):
     import flax
     import tensorflow as tf
 
-    from xpt_mde_tpu.models.backbones.convert_keras import convert_efficientnet
+    from xpt_mde_tpu.models.backbones import BACKBONE_NAMES
+    from xpt_mde_tpu.models.backbones.convert_keras import convert_backbone
 
-    if not net_name.startswith("EfficientNetB"):
-        raise NotImplementedError(
-            f"converter currently supports EfficientNet variants, got {net_name}")
+    if net_name not in BACKBONE_NAMES:
+        raise ValueError(f"unknown backbone {net_name}; one of {BACKBONE_NAMES}")
     builder = getattr(tf.keras.applications, net_name)
+    # weight layout is spatial-size independent; keras default sizes are fine
     keras_model = builder(include_top=False, weights=weights)
-    params, stats = convert_efficientnet(keras_model, net_name[-2:])
+    params, stats = convert_backbone(keras_model, net_name)
 
     out_dir = Path(datapath) / "pretrained"
     out_dir.mkdir(parents=True, exist_ok=True)
