@@ -31,17 +31,17 @@ def main():
     ref_fn = jax.jit(lambda i, cc, m: bilinear_sample(i, cc, m))
     ref = np.asarray(ref_fn(image, coords, mask))
 
-    for fast in (False, True):
-        fn = jax.jit(lambda i, cc, m, f=fast: bilinear_sample_const_src(
-            i, cc, m, fast=f))
+    for mode in ("exact", "bf16", "int8"):
+        fn = jax.jit(lambda i, cc, m, md=mode: bilinear_sample_const_src(
+            i, cc, m, mode=md))
         try:
             got = np.asarray(fn(image, coords, mask))
             diff = np.abs(got - ref)
             dt = timeit(fn, image, coords, mask, iters=10)
-            print(f"fwd fast={fast}: maxdiff={diff.max():.2e} "
+            print(f"fwd mode={mode}: maxdiff={diff.max():.2e} "
                   f"{dt*1e3:.2f}ms", flush=True)
         except Exception as e:
-            print(f"fwd fast={fast} FAILED: {type(e).__name__}: "
+            print(f"fwd mode={mode} FAILED: {type(e).__name__}: "
                   f"{str(e)[:300]}", flush=True)
 
     # training path: value+grad through the custom VJP
@@ -52,15 +52,15 @@ def main():
         gr = jax.jit(jax.grad(loss_ref))
         g_ref = np.asarray(gr(coords))
         dt_r = timeit(gr, coords, iters=10)
-        for fast in (False, True):
-            def loss_pal(cc, f=fast):
+        for mode in ("exact", "bf16", "int8"):
+            def loss_pal(cc, md=mode):
                 return jnp.sum(
                     bilinear_sample_const_src(image, cc, mask,
-                                              fast=f) ** 2)
+                                              mode=md) ** 2)
             gp = jax.jit(jax.grad(loss_pal))
             gdiff = np.abs(np.asarray(gp(coords)) - g_ref)
             dt_p = timeit(gp, coords, iters=10)
-            print(f"grad fast={fast}: maxdiff={gdiff.max():.2e} "
+            print(f"grad mode={mode}: maxdiff={gdiff.max():.2e} "
                   f"pallas={dt_p*1e3:.2f}ms xla={dt_r*1e3:.2f}ms",
                   flush=True)
     except Exception as e:

@@ -144,11 +144,11 @@ def bench_bilinear_warp():
     if jax.default_backend() == "cpu":
         return
     from xpt_mde_tpu.ops.pallas.warp import bilinear_sample_const_src
-    for fast, tag in ((False, "exact"), (True, "bf16")):
-        pfn = jax.jit(lambda i, c, f=fast: bilinear_sample_const_src(
-            i, c, fast=f))
+    for mode in ("exact", "bf16", "int8"):
+        pfn = jax.jit(lambda i, c, md=mode: bilinear_sample_const_src(
+            i, c, mode=md))
         dt_p = timeit(pfn, image, coords)
-        report(f"bilinear_warp_pallas_{tag}_b8x4_128x512", dt_p,
+        report(f"bilinear_warp_pallas_{mode}_b8x4_128x512", dt_p,
                {"speedup_vs_xla": round(dt / dt_p, 2)})
 
 

@@ -46,7 +46,10 @@ def main(trace_dir: str = "/tmp/xprof_step_trace"):
     from xpt_mde_tpu.training import (create_train_state, make_train_step,
                                       optimizer_factory)
 
-    batch, height, width = 8, 128, 512
+    import os
+    batch = int(os.environ.get("BENCH_BATCH", 8))
+    height = int(os.environ.get("BENCH_HEIGHT", 128))
+    width = int(os.environ.get("BENCH_WIDTH", 512))
     rng = np.random.RandomState(0)
     features = {
         "image5d": jnp.asarray(

@@ -88,7 +88,9 @@ def test_matmul_warp_image_cotangent_is_zero():
 def test_supported_gate():
     assert supported((8, 4, 128, 512, 3))       # low-res full scale
     assert supported((8, 4, 64, 256, 3))        # low-res half scale
-    assert not supported((4, 4, 256, 1024, 3))  # high-res full: XLA path
+    # high-res full scale: bf16 MACs lose to the gather, int8 wins
+    assert not supported((4, 4, 256, 1024, 3), mode="bf16")
+    assert supported((4, 4, 256, 1024, 3), mode="int8")
     assert not supported((8, 4, 128, 500, 3))   # non-128-multiple width
     assert not supported((8, 4, 12, 512, 3))    # rows not tile-divisible
 
@@ -133,3 +135,38 @@ def test_flow_warp_const_src_grads_interpret(monkeypatch):
     g_pal = jax.grad(loss_pal)(flow)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_int8_mode_exact_on_uint8_grid():
+    """int8 mode quantizes onto the uint8 pixel grid (q = u - 128):
+    images that came from uint8 pixels sample EXACTLY; arbitrary floats
+    stay within half a uint8 step (1/255 in [-1, 1] units)."""
+    rng = np.random.RandomState(3)
+    b, n, h, w, c = 1, 2, 16, 128, 3
+    u8 = rng.randint(0, 256, (b, n, h, w, c)).astype(np.float32)
+    image = jnp.asarray(u8 / 127.5 - 1.0)
+    _, coords, mask = _case(batch=b, numsrc=n, height=h, width=w, seed=3)
+    ref = bilinear_sample(image, coords, mask)
+    got = bilinear_sample_const_src(image, coords, mask, mode="int8",
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-6, rtol=0)
+
+    off_grid, coords2, mask2 = _case(seed=4)
+    ref2 = bilinear_sample(off_grid, coords2, mask2)
+    got2 = bilinear_sample_const_src(off_grid, coords2, mask2, mode="int8",
+                                     interpret=True)
+    assert float(jnp.abs(got2 - ref2).max()) <= 1.0 / 255.0 + 1e-6
+
+
+def test_int8_mode_coord_grads_match():
+    image, coords, mask = _case(seed=5)
+
+    def loss(cc, mode):
+        return jnp.sum(bilinear_sample_const_src(
+            image, cc, mask, mode=mode, interpret=True) ** 2)
+
+    g_int8 = jax.grad(lambda cc: loss(cc, "int8"))(coords)
+    g_ref = jax.grad(lambda cc: loss(cc, "exact"))(coords)
+    np.testing.assert_allclose(np.asarray(g_int8), np.asarray(g_ref),
+                               atol=5e-2, rtol=1e-2)

@@ -189,9 +189,11 @@ class Config:
     # change gather time -- the TPU gather costs ~14ns/index regardless)
     warp_gather_dtype: str = "float32"
     # view-synthesis warp backend on TPU: "pallas" (gather-free MXU
-    # kernel; ~2e-3 image-value error -- below the 1/255 uint8 source
-    # quantization -- at ~3.5x the XLA gather), "pallas_exact" (3-term
-    # bf16 split, ~2e-7, ~1.2x), or "xla" (bit-exact patch gather)
+    # kernel, int8 one-hot dots at the 2x int8 MXU rate: EXACT for
+    # uint8-grid pixel values, <= 1/255 for augmented ones, ~5x the XLA
+    # gather), "pallas_bf16" (single bf16 image term, ~2e-3, ~3.5x),
+    # "pallas_exact" (3-term bf16 split, ~2e-7, ~1.2x), or "xla"
+    # (bit-exact patch gather). Measured: benchmarks/check_pallas_warp_tpu.py
     warp_kernel: str = "pallas"
 
     # augmentation probabilities (reference: config-example.py:208-210)

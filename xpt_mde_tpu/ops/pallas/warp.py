@@ -16,14 +16,22 @@ only). This kernel does the sampling with NO gather at all:
       with M_v carrying w_v at v_f, 1-w_v at v_f+1 and the validity.
 
 The selection matrices are PURE one-hots (E_f at u_f, E_c at u_f+1) —
-exact in bf16 — and the f32 bilinear weights are applied on the VPU
-after the matmuls, so the only rounding carrier is the image operand:
-the default mode splits it into three exact bf16 terms (all 24 f32
-mantissa bits, ~1e-7 residual); ``fast=True`` keeps one term (~2e-3 on
-[-1,1] images). Mosaic's Precision.HIGHEST dot would also be exact but
-measured 5x slower than these single-pass bf16 dots. Measured
-(benchmarks/check_pallas_warp_tpu.py, 32 frames of 128x512x3, v5e):
-fast 4.9 ms vs 32 ms XLA patch gather.
+exact in bf16 AND int8 — and the f32 bilinear weights are applied on
+the VPU after the matmuls, so the only rounding carrier is the image
+operand. Modes (measured on v5e, 32 frames of 128x512x3, worst-case
+off-grid images — benchmarks/check_pallas_warp_tpu.py):
+
+  "int8"  (training default): quantize onto the uint8 pixel grid
+          (img = u/127.5 - 1 <-> q = u - 128, an exact int8); the dots
+          run int8 x int8 -> int32 at 2x the bf16 MXU rate and
+          dequantize exactly. EXACT for values that came from uint8
+          pixels (the unaugmented pipeline), <= 1/255 — half the uint8
+          step — for augmented ones. fwd 6.4 ms.
+  "bf16": one bf16 image term (~2e-3 on [-1,1] images), fwd 9.1 ms.
+  "exact": three exact bf16 terms summing to all 24 f32 mantissa bits
+          (~1e-7), fwd 26 ms. (Mosaic's Precision.HIGHEST dot measured
+          5x slower than these single-pass splits.)
+XLA patch-gather reference: 32 ms.
 
 Exact bilinear semantics (clipped neighbors, ceil!=floor+1 -> invalid,
 zero-depth mask, black invalid pixels) — same contract as
@@ -70,21 +78,48 @@ def _dot1(a, b):
         preferred_element_type=jnp.float32)
 
 
-def _split_img(img, fast):
+def _split_img(img, mode):
     """Split a f32 image into exact bf16 terms (sum == img to f32).
 
     The selection matmuls run against PURE one-hot matrices (exact in
     bf16), so the image operand is the only precision carrier: 3 bf16
-    terms reconstruct all 24 f32 mantissa bits (~1e-7 residual); fast
+    terms reconstruct all 24 f32 mantissa bits (~1e-7 residual); bf16
     mode keeps one term (~2e-3 on [-1,1] images). bf16 storage keeps
     VMEM small and every dot a single-pass bf16 MXU op."""
-    if fast:
+    if mode == "bf16":
         return (img.astype(jnp.bfloat16),)
     h = img.astype(jnp.bfloat16)
     r = img - h.astype(jnp.float32)
     m = r.astype(jnp.bfloat16)
     l = (r - m.astype(jnp.float32)).astype(jnp.bfloat16)
     return (h, m, l)
+
+
+# int8 mode: quantize the [-1, 1] image onto the uint8 pixel grid
+# (img = u/127.5 - 1  <->  q = u - 128, an exact int8). The one-hot
+# dots then run as int8 x int8 -> int32 -- 2x the bf16 MXU rate on v5e
+# -- and dequantize exactly: val = q/127.5 + 1/255. Images that came
+# straight from uint8 pixels round EXACTLY (zero sampling error);
+# augmented (off-grid) values carry <= 1/255 -- half the uint8
+# quantization step the sources were stored with.
+_INT8_SCALE = 1.0 / 127.5
+_INT8_OFFSET = 1.0 / 255.0
+
+
+def _quant_int8(img):
+    """Quantize [-1, 1] floats onto the uint8 pixel grid (done OUTSIDE
+    the kernel, once per frame -- the kernel sees int8 and the image
+    VMEM block shrinks 4x, which is what lets the 256x1024 high-res
+    frame fit)."""
+    return jnp.clip(jnp.round((img + 1.0) * 127.5) - 128.0,
+                    -128.0, 127.0).astype(jnp.int8)
+
+
+def _dot_int8(q, onehot8):
+    acc = jax.lax.dot_general(
+        q, onehot8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * _INT8_SCALE + _INT8_OFFSET
 
 
 def _dot_terms(img_terms, onehot):
@@ -101,7 +136,7 @@ _SLOTS = 5
 
 
 def _warp_kernel(img_ref, u_ref, v_ref, mask_ref, out_ref, *,
-                 height, width, channels, use_mask, with_grads, fast):
+                 height, width, channels, use_mask, with_grads, mode):
     u = u_ref[0, 0]      # [1, NPIX]
     v = v_ref[0, 0]
     uf0 = jnp.floor(u)
@@ -121,15 +156,21 @@ def _warp_kernel(img_ref, u_ref, v_ref, mask_ref, out_ref, *,
     # weights are applied on the VPU after the matmuls, so they carry no
     # rounding at all
     cols = jax.lax.broadcasted_iota(jnp.int32, (width, _NPIX), 0)
-    e_f = jnp.where(cols == ufi, 1.0, 0.0).astype(jnp.bfloat16)
-    e_c = jnp.where(cols == ufi + 1, 1.0, 0.0).astype(jnp.bfloat16)
+    onehot_dtype = jnp.int8 if mode == "int8" else jnp.bfloat16
+    e_f = jnp.where(cols == ufi, 1, 0).astype(onehot_dtype)
+    e_c = jnp.where(cols == ufi + 1, 1, 0).astype(onehot_dtype)
     rows = jax.lax.broadcasted_iota(jnp.int32, (height, _NPIX), 0)
     mf = jnp.where(rows == vfi, 1.0, 0.0)
     mc = jnp.where(rows == vfi + 1, 1.0, 0.0)
     for c in range(channels):
-        img_terms = _split_img(img_ref[0, c].astype(jnp.float32), fast)
-        p_f = _dot_terms(img_terms, e_f)             # [H, NPIX] f32
-        p_c = _dot_terms(img_terms, e_c)
+        if mode == "int8":
+            q = img_ref[0, c]                        # pre-quantized int8
+            p_f = _dot_int8(q, e_f)                  # [H, NPIX] f32
+            p_c = _dot_int8(q, e_c)
+        else:
+            img_terms = _split_img(img_ref[0, c].astype(jnp.float32), mode)
+            p_f = _dot_terms(img_terms, e_f)         # [H, NPIX] f32
+            p_c = _dot_terms(img_terms, e_c)
         a = w_u * p_f + (1.0 - w_u) * p_c
         j_f = jnp.sum(mf * a, axis=0)[None]
         j_c = jnp.sum(mc * a, axis=0)[None]
@@ -162,15 +203,17 @@ def _prep(image, pixel_coords, valid_mask):
     return img_t, u, v, mask
 
 
-def _call_kernel(image, pixel_coords, valid_mask, with_grads, fast):
+def _call_kernel(image, pixel_coords, valid_mask, with_grads, mode):
     batch, numsrc, height, width, channels = image.shape
     use_mask = valid_mask is not None
     img_t, u, v, mask = _prep(image, pixel_coords, valid_mask)
+    if mode == "int8":
+        img_t = _quant_int8(img_t.astype(jnp.float32))
     bn = batch * numsrc
     ntiles = height * width // _NPIX
     kernel = functools.partial(
         _warp_kernel, height=height, width=width, channels=channels,
-        use_mask=use_mask, with_grads=with_grads, fast=fast)
+        use_mask=use_mask, with_grads=with_grads, mode=mode)
     slots = _SLOTS if with_grads else 1
     mask_spec = (pl.BlockSpec((1, 1, 1, _NPIX),
                               lambda b, t: (b, t, 0, 0)) if use_mask
@@ -204,18 +247,18 @@ def _to_bnhwc(x, batch, numsrc, height, width):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _warp_const(image, pixel_coords, mask_arg, use_mask, fast):
+def _warp_const(image, pixel_coords, mask_arg, use_mask, mode):
     out, = _call_kernel(image, pixel_coords,
                         mask_arg if use_mask else None,
-                        with_grads=False, fast=fast)
+                        with_grads=False, mode=mode)
     b, n, h, w, _ = image.shape
     return _to_bnhwc(out, b, n, h, w).astype(image.dtype)
 
 
-def _warp_const_fwd(image, pixel_coords, mask_arg, use_mask, fast):
+def _warp_const_fwd(image, pixel_coords, mask_arg, use_mask, mode):
     outs = _call_kernel(image, pixel_coords,
                         mask_arg if use_mask else None,
-                        with_grads=True, fast=fast)
+                        with_grads=True, mode=mode)
     out, j_f, j_c, d_f, d_c = outs
     b, n, h, w, _ = image.shape
     res = (tuple(_to_bnhwc(x, b, n, h, w) for x in (j_f, j_c, d_f, d_c)),
@@ -224,7 +267,7 @@ def _warp_const_fwd(image, pixel_coords, mask_arg, use_mask, fast):
     return _to_bnhwc(out, b, n, h, w).astype(image.dtype), res
 
 
-def _warp_const_bwd(use_mask, fast, res, g):
+def _warp_const_bwd(use_mask, mode, res, g):
     (j_f, j_c, d_f, d_c), pixel_coords, mask_arg, img_sd = res
     batch, numsrc, height, width, _ = img_sd.shape
     hw = height * width
@@ -261,6 +304,7 @@ def bilinear_sample_const_src(image: jnp.ndarray,
                               pixel_coords: jnp.ndarray,
                               valid_mask: jnp.ndarray | None = None,
                               fast: bool = False,
+                              mode: str | None = None,
                               interpret: bool = False) -> jnp.ndarray:
     """Gather-free Pallas twin of ops.warp.bilinear_sample for source
     images that are NOT differentiated (zero image cotangent).
@@ -268,36 +312,55 @@ def bilinear_sample_const_src(image: jnp.ndarray,
     :param image: [batch, numsrc, height, width, channels]
     :param pixel_coords: (u, v[, 1]) [batch, numsrc, 2 or 3, height*width]
     :param valid_mask: optional [batch, height, width, 1]; zero = invalid
-    :param fast: single-pass bf16 MXU dots (~3.5e-3 abs error) instead of
-        Precision.HIGHEST
+    :param fast: legacy alias for mode="bf16"
+    :param mode: image-operand precision for the one-hot MXU dots:
+        "exact" (3-term bf16 split, ~1e-7), "bf16" (single term, ~2e-3),
+        "int8" (uint8-grid quantization: EXACT for values on the uint8
+        pixel grid, <= 1/255 otherwise, at 2x the bf16 MXU rate)
     :return: [batch, numsrc, height, width, channels]
     """
+    if mode is None:
+        mode = "bf16" if fast else "exact"
+    assert mode in ("exact", "bf16", "int8"), mode
     _INTERPRET["on"] = interpret
     use_mask = valid_mask is not None
     mask_arg = (valid_mask if use_mask
                 else jnp.zeros((image.shape[0], image.shape[2],
                                 image.shape[3], 1), jnp.float32))
-    return _warp_const(image, pixel_coords, mask_arg, use_mask, fast)
+    return _warp_const(image, pixel_coords, mask_arg, use_mask, mode)
 
 
-def _vmem_bytes(height, width, channels):
-    # frame + M_u/M_du + A/D + masks/temps, all f32
+def _vmem_bytes(height, width, channels, mode="bf16"):
+    if mode == "int8":
+        # int8 frame + int8 one-hots + f32 P_f/P_c + f32 row masks
+        # + the column iota ([W, NPIX] i32)
+        return (channels * height * width
+                + 2 * width * _NPIX
+                + 2 * height * _NPIX * 4
+                + 2 * height * _NPIX * 4
+                + max(height, width) * _NPIX * 4)
+    # f32 frame + M_u/M_du + A/D + masks/temps, all f32
     return (channels * height * width * 4
             + 2 * width * _NPIX * 4
             + 2 * height * _NPIX * 4
             + 3 * max(height, width) * _NPIX * 4)
 
 
-def supported(image_shape, fast: bool = False) -> bool:
+def supported(image_shape, fast: bool = False, mode: str = "bf16") -> bool:
     """Whether the kernel handles this shape within VMEM and the matmul
     formulation is profitable. The matmul cost per output pixel grows
-    with H*W (2 dots over the full frame width), so the high-res
+    with H*W (2 dots over the full frame width): in bf16, the high-res
     256x1024 full scale (~64 ms of MACs vs ~59 ms of gather) stays on
-    the XLA path; every scale at or below 128x512 wins clearly."""
+    the XLA path and every scale at or below 128x512 wins clearly. The
+    int8 mode doubles the MXU rate AND shrinks the frame block 4x, so
+    high-res fits in VMEM and beats the gather (measured v5e, b4x4:
+    fwd 34.5 ms vs 64.5 ms, train fwd+grad 40.9 ms vs 60.5 ms) -- the
+    cap extends to 256x1024x3."""
     _, _, height, width, channels = image_shape
     del fast
     if (height * width) % _NPIX or width % 128 or height % 8:
         return False
-    if _vmem_bytes(height, width, channels) > VMEM_LIMIT_BYTES:
+    if _vmem_bytes(height, width, channels, mode) > VMEM_LIMIT_BYTES:
         return False
-    return height * width * channels <= 128 * 512 * 3
+    cap = 256 * 1024 * 3 if mode == "int8" else 128 * 512 * 3
+    return height * width * channels <= cap

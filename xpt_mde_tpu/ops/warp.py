@@ -142,20 +142,26 @@ def _sample_patch_gather(image, ints, weights):
 
 # const-src Pallas routing (ops/pallas/warp.py): the gather-free
 # MXU/VPU kernel. Only for warps whose image operand is never
-# differentiated (its image cotangent is zero). Fast mode (default,
-# single bf16 image term, exact selections + f32 weights) carries
-# ~2e-3 value error -- BELOW the uint8 quantization step (1/255) of the
-# source images it samples -- at ~3.5x the XLA gather; exact mode
-# (3-term bf16 split, ~2e-7) is ~1.2x. Config.warp_kernel selects.
+# differentiated (its image cotangent is zero). int8 mode (default)
+# quantizes the image onto the uint8 pixel grid and runs the exact
+# one-hot selections as int8 MXU dots (2x the bf16 rate): EXACT for
+# values that came from uint8 pixels, <= 1/255 for augmented ones, at
+# ~5x the XLA gather. "bf16" (single bf16 term, ~2e-3, ~3.5x) and
+# "exact" (3-term bf16 split, ~2e-7, ~1.2x) remain. Config.warp_kernel
+# selects; measured in benchmarks/check_pallas_warp_tpu.py.
 CONST_SRC_PALLAS = True
-CONST_SRC_FAST = True
+CONST_SRC_MODE = "int8"
 
 
-def set_const_src_pallas(enabled: bool, fast: bool = False) -> None:
-    """Toggle the const-src Pallas warp path (Config.warp_kernel)."""
-    global CONST_SRC_PALLAS, CONST_SRC_FAST
+def set_const_src_pallas(enabled: bool, fast: bool = False,
+                         mode: str | None = None) -> None:
+    """Toggle the const-src Pallas warp path (Config.warp_kernel).
+
+    ``mode``: "exact" | "bf16" | "int8" (see pallas/warp.py); ``fast``
+    is the legacy boolean alias (True -> "bf16", False -> "exact")."""
+    global CONST_SRC_PALLAS, CONST_SRC_MODE
     CONST_SRC_PALLAS = enabled
-    CONST_SRC_FAST = fast
+    CONST_SRC_MODE = mode if mode is not None else ("bf16" if fast else "exact")
 
 
 def bilinear_sample(image: jnp.ndarray, pixel_coords: jnp.ndarray,
@@ -178,9 +184,9 @@ def bilinear_sample(image: jnp.ndarray, pixel_coords: jnp.ndarray,
             and const_src and CONST_SRC_PALLAS \
             and jax.default_backend() != "cpu":
         from xpt_mde_tpu.ops.pallas import warp as pallas_warp
-        if pallas_warp.supported(image.shape, fast=CONST_SRC_FAST):
+        if pallas_warp.supported(image.shape, mode=CONST_SRC_MODE):
             return pallas_warp.bilinear_sample_const_src(
-                image, pixel_coords, valid_mask, fast=CONST_SRC_FAST)
+                image, pixel_coords, valid_mask, mode=CONST_SRC_MODE)
     ints, weights = _neighbor_weights(image, pixel_coords, valid_mask)
     if (height * width <= ONEHOT_MAX_PIXELS
             and channels <= ONEHOT_MAX_CHANNELS):

@@ -81,7 +81,9 @@ class StageRuntime:
             warp_ops.set_gather_dtype(jnp.bfloat16)
         warp_ops.set_const_src_pallas(
             cfg.warp_kernel != "xla",
-            fast=cfg.warp_kernel in ("pallas", "pallas_fast"))
+            mode={"pallas": "int8", "pallas_int8": "int8",
+                  "pallas_bf16": "bf16",
+                  "pallas_fast": "bf16"}.get(cfg.warp_kernel, "exact"))
 
         factory = ModelFactory(dataset_keys, stage.net_names,
                                cfg.depth_activation, stereo=cfg.stereo,
