@@ -34,7 +34,8 @@ WIDTH = int(_os.environ.get("BENCH_WIDTH", 512))
 # rigid (depth+pose, the headline) | joint (adds PWC-Net flow + cmb losses,
 # the TRAINING_PLAN_28 fine-tune stage) | stereo (the "MS" training the
 # published Table-4 numbers come from: _R views re-run + stereo depth +
-# stereo pose losses)
+# stereo pose losses) | predict (inference/serving: forward only, the
+# predict_by_plan step)
 STAGE = _os.environ.get("BENCH_STAGE", "rigid")
 WARMUP_STEPS = 3
 SHORT_STEPS = 3
@@ -89,6 +90,33 @@ def main():
                               batch_size=BATCH)
     tx = optimizer_factory("adam_constant", 1e-4, frozen_nets=frozen)
     state = create_train_state(model, features, tx)
+
+    if STAGE == "predict":
+        from xpt_mde_tpu.training.train_step import make_predict_step
+        predict = make_predict_step(model)
+
+        def run_predict(n):
+            preds = None
+            for _ in range(n):
+                preds = predict(state, features)
+            float(jnp.sum(preds["depth_ms"][0]))  # true host sync
+        run_predict(WARMUP_STEPS)
+        t0 = time.perf_counter()
+        run_predict(SHORT_STEPS)
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run_predict(SHORT_STEPS + MEASURE_STEPS)
+        t_long = time.perf_counter() - t0
+        ips = BATCH * MEASURE_STEPS / max(t_long - t_short, 1e-9)
+        print(json.dumps({
+            "metric": f"predict_images_per_sec_per_chip_effb5_"
+                      f"{HEIGHT}x{WIDTH}",
+            "value": round(ips, 2), "unit": "images/sec",
+            "vs_baseline": round(ips / TF2_GPU_IMAGES_PER_SEC_ESTIMATE, 2),
+            "baseline_is_estimate": True,
+        }))
+        return
+
     step = make_train_step(model, total_loss)
 
     # steps serialize through the donated train state; a host fetch of the

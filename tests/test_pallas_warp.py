@@ -132,9 +132,18 @@ def test_flow_warp_const_src_grads_interpret(monkeypatch):
     def loss_pal(f):
         return jnp.sum(flow_bilinear_sample(image, f, const_src=True) ** 2)
 
+    # "exact" mode: 3-term bf16 split, image error ~2e-7 -> tight match
+    monkeypatch.setattr(ow, "CONST_SRC_MODE", "exact")
     g_pal = jax.grad(loss_pal)(flow)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                atol=1e-4, rtol=1e-4)
+
+    # int8 default: arbitrary-float image quantized onto the uint8 grid
+    # (<= 1/255 per value); grad w.r.t. flow carries ~C * 2/255 of that
+    monkeypatch.setattr(ow, "CONST_SRC_MODE", "int8")
+    g_int8 = jax.grad(loss_pal)(flow)
+    np.testing.assert_allclose(np.asarray(g_int8), np.asarray(g_ref),
+                               atol=0.05, rtol=0.05)
 
 
 def test_int8_mode_exact_on_uint8_grid():

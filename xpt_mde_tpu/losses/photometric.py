@@ -46,31 +46,55 @@ def photometric_loss_l2(synth_target: jnp.ndarray, orig_target: jnp.ndarray,
     return err
 
 
+def _sum3(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Sum of each length-3 window along ``axis`` (SAME, zero-padded)."""
+    n = x.shape[axis]
+    pad = [(1, 1) if a == axis else (0, 0) for a in range(x.ndim)]
+    p = jnp.pad(x, pad)
+    return (jax.lax.slice_in_dim(p, 0, n, axis=axis)
+            + jax.lax.slice_in_dim(p, 1, n + 1, axis=axis)
+            + jax.lax.slice_in_dim(p, 2, n + 2, axis=axis))
+
+
+def _edge_counts(n: int) -> np.ndarray:
+    """Valid-neighbor count per position of a length-3 SAME window."""
+    c = np.full(n, 3.0, np.float32)
+    c[0] -= 1.0
+    c[-1] -= 1.0
+    return np.maximum(c, 1.0)
+
+
 def avg_pool_3x3_same(x: jnp.ndarray) -> jnp.ndarray:
     """3x3 mean pool over the (H, W) axes of [..., H, W, C], SAME padding,
     excluding padded positions from the average (TF pooling semantics --
-    interior pixels average 9 neighbors, corners average 4)."""
-    ndim = x.ndim
-    window = (1,) * (ndim - 3) + (3, 3, 1)
-    strides = (1,) * ndim
-    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, window, strides, "SAME")
-    counts = jax.lax.reduce_window(jnp.ones_like(x), 0.0, jax.lax.add,
-                                   window, strides, "SAME")
+    interior pixels average 9 neighbors, corners average 4).
+
+    Implemented as a separable shift-add (zero-padded 3-sums along H then
+    W) divided by a compile-time count map: TPU's reduce_window lowering
+    costs ~1.8 ms/step here, while shifted adds fuse into the surrounding
+    elementwise work."""
+    h, w = x.shape[-3], x.shape[-2]
+    summed = _sum3(_sum3(x, x.ndim - 3), x.ndim - 2)
+    counts = jnp.asarray(np.outer(_edge_counts(h), _edge_counts(w))[..., None],
+                         dtype=x.dtype)
     return summed / counts
 
 
 def photometric_loss_ssim(synth_target: jnp.ndarray, orig_target: jnp.ndarray,
                           reduce: bool = True) -> jnp.ndarray:
-    numsrc = synth_target.shape[1]
     x = jnp.broadcast_to(orig_target[:, None], synth_target.shape)
     y = synth_target
     mask = _error_mask(synth_target)
 
     c1 = 0.01 ** 2
     c2 = 0.03 ** 2
-    mu_x = avg_pool_3x3_same(x)
+    # target-only pools run on [B,H,W,C] and broadcast after -- the
+    # numsrc copies are identical, no need to pool them numsrc times
+    mu_x_t = avg_pool_3x3_same(orig_target)
+    sigma_x_t = avg_pool_3x3_same(orig_target ** 2) - mu_x_t ** 2
+    mu_x = jnp.broadcast_to(mu_x_t[:, None], synth_target.shape)
+    sigma_x = jnp.broadcast_to(sigma_x_t[:, None], synth_target.shape)
     mu_y = avg_pool_3x3_same(y)
-    sigma_x = avg_pool_3x3_same(x ** 2) - mu_x ** 2
     sigma_y = avg_pool_3x3_same(y ** 2) - mu_y ** 2
     sigma_xy = avg_pool_3x3_same(x * y) - mu_x * mu_y
 

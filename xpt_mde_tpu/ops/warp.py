@@ -179,10 +179,11 @@ def bilinear_sample(image: jnp.ndarray, pixel_coords: jnp.ndarray,
     :return: reconstructed target view [batch, numsrc, height, width, channels]
     """
     height, width, channels = image.shape[2], image.shape[3], image.shape[4]
-    if (height * width > ONEHOT_MAX_PIXELS
-            or channels > ONEHOT_MAX_CHANNELS) \
-            and const_src and CONST_SRC_PALLAS \
-            and jax.default_backend() != "cpu":
+    # every const-src warp the kernel supports routes to Pallas -- the
+    # coarse scales too: measured b8n4 32x128 (scale 2 of the headline
+    # config), the XLA one-hot costs 0.89 ms fwd / 4.3 ms fwd+grad vs
+    # ~0.0 / 0.45 ms for the int8 kernel (benchmarks/probe_scale2_warp.py)
+    if const_src and CONST_SRC_PALLAS and jax.default_backend() != "cpu":
         from xpt_mde_tpu.ops.pallas import warp as pallas_warp
         if pallas_warp.supported(image.shape, mode=CONST_SRC_MODE):
             return pallas_warp.bilinear_sample_const_src(
