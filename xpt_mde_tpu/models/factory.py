@@ -127,8 +127,16 @@ class ModelFactory:
                           if f.name not in ("parent", "name")}
                 # `train` is a static python bool inside BatchNorm branches
                 backbone = nn.remat(cls, static_argnums=(2,))(**kwargs)
+            import jax
+
+            # space-to-depth fine-scale decoder: TPU lane-padding fix
+            # (exact math, same params; see layers.PackedConv2D). CPU
+            # keeps the plain path -- packed is slower there.
+            packed_tail = jax.default_backend() not in ("cpu",)
             return dn.DepthNetPretrained(backbone, activation,
-                                         self.upsample_interp, dtype=self.dtype)
+                                         self.upsample_interp,
+                                         dtype=self.dtype,
+                                         packed_tail=packed_tail)
         raise ValueError(f"wrong depth net name: {net_name}")
 
     def pose_net_factory(self, net_name: str) -> nn.Module:
