@@ -88,6 +88,35 @@ def test_parallel_matches_single_device(dp_parts):
     assert max_diff < 1e-4, max_diff
 
 
+def test_data_spatial_mesh_matches_single_device(dp_parts):
+    """2-D (data=4, spatial=2) mesh: batch shards over data AND image
+    height shards over spatial (high-res scaling mode); results must
+    match the single-device step."""
+    data, model, total_loss, batch = dp_parts
+    mesh = make_mesh({"data": 4, "spatial": 2})
+    assert mesh.axis_names == ("data", "spatial")
+
+    from xpt_mde_tpu.training import make_train_step
+    state1 = _fresh_state(model, batch)
+    step1 = make_train_step(model, total_loss)
+    state1, m1 = step1(state1, batch, jax.random.PRNGKey(0))
+
+    state8 = replicate_state(_fresh_state(model, batch), mesh)
+    sharded = shard_batch(batch, mesh)
+    # image tensors really are height-sharded
+    img = sharded["image5d"]
+    assert img.sharding.spec == ("data", None, "spatial")
+    step8 = make_parallel_train_step(model, total_loss, mesh)
+    state8, m8 = step8(state8, sharded, jax.random.PRNGKey(0))
+
+    assert np.isclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4), (
+        float(m1["loss"]), float(m8["loss"]))
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        state1.params, state8.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4
+
+
 def test_grads_synchronized_across_devices(dp_parts):
     """After a DP step, replicated params must be identical on all devices."""
     data, model, total_loss, batch = dp_parts

@@ -3,9 +3,11 @@
 The reference's only strategy is synchronous data parallelism over
 MirroredStrategy/NCCL (/root/reference/model/model_util/distributer.py:9-44,
 SURVEY.md §2.7). The TPU-native equivalent is a 1-D ``("data",)`` mesh
-with XLA-compiled collectives over ICI. Extra axes ("model", "spatial")
-are accepted as forward-compatible hooks for tensor/spatial sharding but
-default to size 1 -- conv nets up to EfficientNetB7 fit a single chip.
+with XLA-compiled collectives over ICI. A 2-D ``("data", "spatial")``
+mesh additionally shards the image height axis (high-res scaling beyond
+one chip's HBM; conv halos become collective-permutes under SPMD --
+see sharding.feature_sharding). A "model" axis is accepted as a
+forward-compatible hook for tensor sharding but defaults to size 1.
 """
 
 from __future__ import annotations

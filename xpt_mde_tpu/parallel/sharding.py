@@ -33,10 +33,35 @@ def _replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _has_spatial(mesh: Mesh) -> bool:
+    return "spatial" in mesh.axis_names and mesh.shape["spatial"] > 1
+
+
+def feature_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Sharding spec for one feature array.
+
+    1-D mesh: everything shards on the leading batch axis. 2-D
+    ``("data", "spatial")`` mesh (high-res scaling): image tensors also
+    shard their height axis -- [B, S, H, W, C] -> P(data, None, spatial),
+    [B, H, W, C] -> P(data, spatial); small per-example tensors
+    (intrinsics, poses) stay data-sharded only. XLA's SPMD partitioner
+    turns the conv halos into ICI collective-permutes."""
+    if _has_spatial(mesh) and ndim >= 4:
+        spec = (("data", None, "spatial") if ndim >= 5
+                else ("data", "spatial"))
+        return NamedSharding(mesh, P(*spec))
+    return _data_sharding(mesh)
+
+
 def shard_batch(features: Mapping[str, Any], mesh: Mesh) -> dict:
-    """Device-put every feature array sharded on its leading (batch) axis."""
-    sharding = _data_sharding(mesh)
-    return {k: jax.device_put(v, sharding) for k, v in features.items()}
+    """Device-put every feature array with its mesh sharding (batch axis,
+    plus the image height axis on a 2-D data x spatial mesh)."""
+    return {k: jax.device_put(v, feature_sharding(mesh, jnp_ndim(v)))
+            for k, v in features.items()}
+
+
+def jnp_ndim(x) -> int:
+    return getattr(x, "ndim", None) or len(getattr(x, "shape", ()))
 
 
 def replicate_state(state, mesh: Mesh):
@@ -78,10 +103,11 @@ def make_parallel_train_step(model, total_loss, mesh: Mesh,
         return state, metrics
 
     repl = _replicated(mesh)
-    data = _data_sharding(mesh)
+    # features keep the shardings shard_batch committed them with (data
+    # axis always; + height over "spatial" on a 2-D mesh)
     return jax.jit(
         step_body,
-        in_shardings=(repl, data, repl),
+        in_shardings=(repl, None, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )

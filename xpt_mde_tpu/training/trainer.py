@@ -79,8 +79,12 @@ class StageRuntime:
         from xpt_mde_tpu.ops import warp as warp_ops
         if cfg.warp_gather_dtype == "bfloat16":
             warp_ops.set_gather_dtype(jnp.bfloat16)
+        # on a spatially-sharded mesh the warp must stay in XLA ops (the
+        # Pallas custom call has no SPMD partitioning rule); the one-hot
+        # einsum partitions automatically
+        spatial = mesh is not None and mesh.shape.get("spatial", 1) > 1
         warp_ops.set_const_src_pallas(
-            cfg.warp_kernel != "xla",
+            cfg.warp_kernel != "xla" and not spatial,
             mode={"pallas": "int8", "pallas_int8": "int8",
                   "pallas_bf16": "bf16",
                   "pallas_fast": "bf16"}.get(cfg.warp_kernel, "exact"))
