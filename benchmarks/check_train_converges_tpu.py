@@ -3,6 +3,8 @@ loss on the TPU chip. Catches numeric breakage that throughput
 benchmarks would miss.
 
 Run: python benchmarks/check_train_converges_tpu.py
+     NET=EfficientNetB0 python benchmarks/check_train_converges_tpu.py
+         (flagship pretrained path: backbone BN + packed decoder tail)
 """
 
 from __future__ import annotations
@@ -38,8 +40,10 @@ def main():
             [[358.0, 0, width / 2], [0, 370.0, height / 2], [0, 0, 1]],
             np.float32), (batch, 1, 1))),
     }
+    import os
+    depth_net = os.environ.get("NET", "DepthNetBasic")
     factory = ModelFactory(["image", "intrinsic"],
-                           {"depth": "DepthNetBasic",
+                           {"depth": depth_net,
                             "camera": "PoseNetImproved"},
                            stereo=False, high_res=False,
                            compute_dtype="bfloat16")
