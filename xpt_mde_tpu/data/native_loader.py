@@ -95,7 +95,8 @@ class NativeShardReader:
     def __len__(self):
         return len(self.ds)
 
-    def read_batch(self, indices: np.ndarray) -> dict:
+    def read_batch(self, indices: np.ndarray,
+                   decode_images: bool = True) -> dict:
         n = len(indices)
         idx = np.ascontiguousarray(indices, np.int64)
         out = np.empty((n, self.ds.record_nbytes), np.uint8)
@@ -107,7 +108,7 @@ class NativeShardReader:
         batch = {}
         for key, (off, nbytes, dt, shape) in self.layout.items():
             field = np.ascontiguousarray(out[:, off:off + nbytes])
-            if key.startswith("image"):
+            if key.startswith("image") and decode_images:
                 dec = np.empty(field.size, np.float32)
                 self.lib.sr_decode_images(
                     field.ctypes.data_as(ctypes.c_void_p),
@@ -133,10 +134,11 @@ class NativeDatasetLoader(DatasetLoader):
     """DatasetLoader with the gather + decode in native code."""
 
     def __init__(self, shard_dir, batch_size: int, snippet_len: int = 5,
-                 shuffle: bool = True, seed: int = 0, num_threads: int = 8):
+                 shuffle: bool = True, seed: int = 0, num_threads: int = 8,
+                 raw_images: bool = False):
         self.native = NativeShardReader(shard_dir, num_threads)
         super().__init__(self.native.ds, batch_size, snippet_len, shuffle,
-                         seed)
+                         seed, raw_images=raw_images)
 
     def config_keys(self):
         return self.ds.keys()
@@ -146,7 +148,8 @@ class NativeDatasetLoader(DatasetLoader):
         for start in range(0, self.steps_per_epoch * self.batch_size,
                            self.batch_size):
             idxs = order[start:start + self.batch_size]
-            raw = self.native.read_batch(idxs)
+            raw = self.native.read_batch(idxs,
+                                         decode_images=not self.raw_images)
             feats = {}
             for key, val in raw.items():
                 if key.startswith("image"):
@@ -202,15 +205,19 @@ class PrefetchLoader:
 
 def make_loader(shard_dir, batch_size: int, snippet_len: int = 5,
                 shuffle: bool = True, seed: int = 0,
-                prefetch: int = 2):
-    """Best-available loader: native + prefetch, else numpy."""
+                prefetch: int = 2, raw_images: bool = False):
+    """Best-available loader: native + prefetch, else numpy.
+
+    ``raw_images`` ships image5d as uint8; the train/eval/predict steps
+    decode on device (training.train_step.decode_image_features)."""
     try:
         loader = NativeDatasetLoader(shard_dir, batch_size, snippet_len,
-                                     shuffle, seed)
+                                     shuffle, seed, raw_images=raw_images)
     except Exception as e:
         print(f"[make_loader] native loader unavailable ({e}); numpy path")
         loader = DatasetLoader(ShardDataset(shard_dir), batch_size,
-                               snippet_len, shuffle, seed)
+                               snippet_len, shuffle, seed,
+                               raw_images=raw_images)
     if prefetch > 0:
         return PrefetchLoader(loader, prefetch)
     return loader

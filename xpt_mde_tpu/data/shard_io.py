@@ -224,11 +224,16 @@ class DatasetLoader:
 
     def __init__(self, dataset: ShardDataset, batch_size: int,
                  snippet_len: int = 5, shuffle: bool = True, seed: int = 0,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 raw_images: bool = False):
         """``batch_size`` is the per-process batch. On multi-host pods set
         (process_index, process_count) so every host reads a disjoint
         slice of the same shuffled order -- the jax.process_index-sharded
-        input pipeline of SURVEY.md §2.7."""
+        input pipeline of SURVEY.md §2.7.
+
+        ``raw_images`` yields ``image5d*`` as uint8 (decode happens on
+        device in the train/eval/predict steps -- exact same math, 4x
+        less host work and transfer)."""
         self.ds = dataset
         self.batch_size = batch_size
         self.snippet_len = snippet_len
@@ -237,6 +242,7 @@ class DatasetLoader:
         self.epoch = 0
         self.process_index = process_index
         self.process_count = process_count
+        self.raw_images = raw_images
 
     @property
     def steps_per_epoch(self) -> int:
@@ -249,7 +255,10 @@ class DatasetLoader:
         for key, val in batch.items():
             if key.startswith("image"):
                 sfx = key[5:]  # "", "_R"
-                img = val.astype(np.float32) / 255.0 * 2.0 - 1.0
+                # same formula as the native (C++) and on-device decodes:
+                # u * (2/255) - 1 -- bit-identical across all three paths
+                img = val if self.raw_images \
+                    else val.astype(np.float32) * (2.0 / 255.0) - 1.0
                 b, sh, w, c = img.shape
                 s = self.snippet_len
                 feats["image5d" + sfx] = img.reshape(b, s, sh // s, w, c)

@@ -118,8 +118,13 @@ def evaluate_for_debug(state, loader, predict_step, debug_dir,
     depth_rows, pose_rows, traj_rows = [], [], []
     frames_cache = []  # (target_u8, source_u8, synth, depth, pose data)
     frame = 0
+    from xpt_mde_tpu.training.train_step import decode_image_features
+
     for batch in loader:
-        feats = {k: jnp.asarray(v) for k, v in batch.items()}
+        # raw-uint8 loader batches are decoded here once; the cached frames
+        # and per-batch quantities below all expect float [-1, 1] images
+        feats = decode_image_features(
+            {k: jnp.asarray(v) for k, v in batch.items()})
         preds = predict_step(state, feats)
         q = _per_batch_quantities(feats, preds, smooth_fn)
         batch_n, numsrc = q["photo"].shape

@@ -36,8 +36,13 @@ def predict_dataset(model, state, loader, predict_step) -> dict:
     def append(key, val):
         outputs.setdefault(key, []).append(np.asarray(val))
 
+    from xpt_mde_tpu.training.train_step import decode_image_features
+
     for features in loader:
-        feats = {k: jnp.asarray(v) for k, v in features.items()}
+        # loaders may ship raw uint8 snippets; decode here so the host-side
+        # image dump below sees floats (no-op for float batches)
+        feats = decode_image_features(
+            {k: jnp.asarray(v) for k, v in features.items()})
         preds = predict_step(state, feats)
         image = np.asarray(feats["image5d"][:, -1])
         append("image", ((np.clip(image, -1, 1) + 1) / 2 * 255).astype(np.uint8))

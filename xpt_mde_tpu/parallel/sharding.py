@@ -82,6 +82,7 @@ def make_parallel_train_step(model, total_loss, mesh: Mesh,
     from xpt_mde_tpu.training import train_step as ts
 
     def step_body(state, features, rng):
+        features = ts.decode_image_features(features)
         if augmenter is not None:
             aug_rng, rng = jax.random.split(rng)
             features = augmenter(dict(features), aug_rng)

@@ -49,9 +49,12 @@ def default_dataset_factory(cfg: Config):
     from xpt_mde_tpu.data.native_loader import make_loader
 
     def factory(dataset_name: str, split: str, batch_size: int):
+        # raw uint8 snippets; the train/eval steps decode on device
+        # (train_step.decode_image_features) -- 4x less host decode work
+        # and host->device transfer (benchmarks/loader_bench.py)
         return make_loader(Path(cfg.datapath_shd) / f"{dataset_name}_{split}",
                            batch_size, cfg.snippet_len,
-                           shuffle=(split == "train"))
+                           shuffle=(split == "train"), raw_images=True)
     return factory
 
 
@@ -108,7 +111,11 @@ class StageRuntime:
                                     frozen_nets=frozen)
         reg_net = "flownet" if "flow_reg" in stage.loss_weights else None
 
-        example = self._to_device(next(iter(self.train_loader)))
+        from xpt_mde_tpu.training.train_step import decode_image_features
+        # the kept example batch (model init + logger recon samples) is
+        # decoded once up front; per-step decode happens inside the steps
+        example = decode_image_features(
+            self._to_device(next(iter(self.train_loader))))
         self.example = example
         self.state = create_train_state(self.model, example, self.tx)
 
