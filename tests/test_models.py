@@ -115,3 +115,29 @@ def test_posenet_pretrained():
     model = factory.get_model()
     preds = _init_and_run(model, _features(), train=True)
     assert preds["pose"].shape == (B, S - 1, 6)
+
+
+@pytest.mark.parametrize("kernel,stride", [(3, 1), (3, 2), (5, 1), (5, 2)])
+def test_depthwise_conv_fma_matches_lax(kernel, stride, monkeypatch):
+    """The shape-routed DepthwiseConv lowerings are interchangeable:
+    k^2 shifted-FMA == lax grouped conv (same products, f32 accumulate;
+    benchmarks/probe_dw_matrix.py picks per shape on TPU)."""
+    from xpt_mde_tpu.models.backbones.efficientnet import DepthwiseConv
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 16, 32, 24).astype(np.float32) * 2 - 1)
+    dw = DepthwiseConv(kernel, stride, dtype=jnp.float32)
+    variables = dw.init(jax.random.PRNGKey(0), x)
+
+    def run(mode):
+        monkeypatch.setenv("XPT_DW_MODE", mode)
+        def loss(v):
+            return jnp.sum(dw.apply(v, x) ** 2)
+        val, grad = jax.value_and_grad(loss)(variables)
+        return val, grad["params"]["kernel"]
+
+    val_lax, g_lax = run("lax")
+    val_fma, g_fma = run("fma")
+    np.testing.assert_allclose(float(val_lax), float(val_fma), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_lax), np.asarray(g_fma),
+                               rtol=1e-4, atol=1e-4)

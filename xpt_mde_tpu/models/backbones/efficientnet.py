@@ -14,9 +14,11 @@ convs run in the model dtype (bfloat16 by default) with f32 params.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # (expand_ratio, channels, repeats, stride, kernel) for B0
@@ -47,6 +49,66 @@ def round_filters(filters: float, width_mult: float, divisor: int = 8) -> int:
 
 def round_repeats(repeats: int, depth_mult: float) -> int:
     return int(math.ceil(depth_mult * repeats))
+
+
+def _dw_use_fma(height: int, width: int, channels: int, kernel: int,
+                stride: int) -> bool:
+    """Shape gate for the depthwise formulation (measured on v5e,
+    benchmarks/probe_dw_matrix.py): XLA's grouped-conv lowering is
+    near-floor except at LARGE-spatial / small-C stride-1 k3 sites,
+    where the conv-backward layout relayouts dominate (fwd+bwd 2.2 ms
+    lax vs 1.0 ms FMA at [4,128,512,48]). Everywhere else lax wins.
+    Override with XPT_DW_MODE=lax|fma."""
+    mode = os.environ.get("XPT_DW_MODE", "auto")
+    if mode == "lax":
+        return False
+    if mode == "fma":
+        return True
+    return (stride == 1 and kernel == 3 and channels <= 64
+            and height * width >= 128 * 512)
+
+
+class DepthwiseConv(nn.Module):
+    """Depthwise conv with a TPU shape-routed lowering.
+
+    Param tree is identical to the grouped ``nn.Conv`` it replaces
+    (one "kernel" of [kh, kw, 1, C]); callers pass ``name="Conv_i"`` so
+    checkpoints and the keras converter (convert_keras.py) are
+    unaffected. The FMA path expands the conv into k^2 shifted
+    multiply-adds with f32 accumulation — the same products the MXU
+    conv computes, so results are exact (probe err 0.0)."""
+
+    kernel: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel, self.kernel, 1, c), jnp.float32)
+        x = x.astype(self.dtype)
+        if not _dw_use_fma(h, w, c, self.kernel, self.stride):
+            return jax.lax.conv_general_dilated(
+                x, k.astype(self.dtype), (self.stride, self.stride),
+                "SAME", feature_group_count=c,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # lax SAME pad totals k-s; lo = (k-s)//2
+        pad = max(self.kernel - self.stride, 0) // 2
+        hi = self.kernel - 1 - pad
+        xp = jnp.pad(x, ((0, 0), (pad, hi), (pad, hi), (0, 0)))
+        kf = k.astype(self.dtype)[:, :, 0]
+        acc = None
+        for u in range(self.kernel):
+            for v in range(self.kernel):
+                t = jax.lax.slice(
+                    xp, (0, u, v, 0),
+                    (b, u + h, v + w, c)).astype(jnp.float32) \
+                    * kf[u, v].astype(jnp.float32)
+                acc = t if acc is None else acc + t
+        if self.stride > 1:
+            acc = acc[:, ::self.stride, :, :][:, :, ::self.stride, :]
+        return acc.astype(self.dtype)
 
 
 class SqueezeExcite(nn.Module):
@@ -81,20 +143,26 @@ class MBConv(nn.Module):
         norm = lambda: nn.BatchNorm(use_running_average=not train,
                                     momentum=0.99, epsilon=1e-3,
                                     dtype=self.dtype, param_dtype=jnp.float32)
+        # convs are explicitly named so the shape-routed DepthwiseConv
+        # slots into the same "Conv_i" path the keras converter and
+        # checkpoints address
+        ci = 0
         if self.expand_ratio != 1:
             x = nn.Conv(in_ch * self.expand_ratio, (1, 1), use_bias=False,
-                        dtype=self.dtype, param_dtype=jnp.float32)(x)
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"Conv_{ci}")(x)
+            ci += 1
             x = norm()(x)
             x = nn.swish(x)
-        x = nn.Conv(x.shape[-1], (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding="SAME",
-                    feature_group_count=x.shape[-1], use_bias=False,
-                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = DepthwiseConv(self.kernel, self.stride, dtype=self.dtype,
+                          name=f"Conv_{ci}")(x)
+        ci += 1
         x = norm()(x)
         x = nn.swish(x)
         x = SqueezeExcite(max(1, int(in_ch * self.se_ratio)), self.dtype)(x)
         x = nn.Conv(self.out_ch, (1, 1), use_bias=False,
-                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name=f"Conv_{ci}")(x)
         x = norm()(x)
         if self.stride == 1 and in_ch == self.out_ch:
             x = x + residual
