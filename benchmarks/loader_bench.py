@@ -57,6 +57,10 @@ def measure(loader, n_batches: int, warmup: int = 4) -> float:
         batch = next(it)
         got += batch["image5d"].shape[0]
     dt = time.perf_counter() - t0
+    # drain: abandoning a PrefetchLoader iterator mid-epoch leaves its
+    # producer thread blocked on the full queue holding batch buffers
+    for _ in it:
+        pass
     return got / dt
 
 

@@ -24,7 +24,8 @@ def main():
     from xpt_mde_tpu.serving import export_predictor
     from xpt_mde_tpu.training.checkpoint import CheckpointManager
     from xpt_mde_tpu.training.optimizers import optimizer_factory
-    from xpt_mde_tpu.training.train_step import create_train_state
+    from xpt_mde_tpu.training.train_step import (create_train_state,
+                                                 decode_image_features)
     from xpt_mde_tpu.training.trainer import default_dataset_factory
 
     cfg = load_user_config()
@@ -41,8 +42,10 @@ def main():
         model = ModelFactory(keys, stage.net_names, cfg.depth_activation,
                              stereo=cfg.stereo, high_res=cfg.high_res,
                              compute_dtype=cfg.compute_dtype).get_model()
+        # init on decoded floats; export with the RAW batch so the
+        # artifact takes uint8 and decodes on device (export.py)
         batch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
-        state = create_train_state(model, batch,
+        state = create_train_state(model, decode_image_features(batch),
                                    optimizer_factory(cfg.optimizer, 1e-4))
         ckpt = CheckpointManager(Path(cfg.datapath_ckp) / stage.ckpt_name)
         state, loaded = ckpt.restore_params(state, stage.weight_suffix)

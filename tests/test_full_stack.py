@@ -71,3 +71,13 @@ def test_full_stack_kitti(kitti_tree, tmp_path):  # noqa: F811
     assert merged.exists()
     text = merged.read_text()
     assert "abs_rel" in text and "trj_abs_err" in text
+
+    # model-driven debug evaluation through the same plan walk
+    from xpt_mde_tpu.evaluate.evaluate_debug import debug_by_plan
+    debug_by_plan(cfg)
+    debug_dir = (Path(cfg.datapath_evl) / "fullstack"
+                 / "debug_kitti_raw_latest")
+    assert (debug_dir / "debug_depth.csv").exists()
+    assert (debug_dir / "debug_pose.csv").exists()
+    assert (debug_dir / "trajectory.csv").exists()
+    assert any(debug_dir.glob("worst_*/*.png"))

@@ -118,14 +118,16 @@ def test_posenet_pretrained():
 
 
 @pytest.mark.parametrize("kernel,stride", [(3, 1), (3, 2), (5, 1), (5, 2)])
-def test_depthwise_conv_fma_matches_lax(kernel, stride, monkeypatch):
+@pytest.mark.parametrize("hw", [(16, 32), (15, 33)])  # even AND odd sizes
+def test_depthwise_conv_fma_matches_lax(kernel, stride, hw, monkeypatch):
     """The shape-routed DepthwiseConv lowerings are interchangeable:
-    k^2 shifted-FMA == lax grouped conv (same products, f32 accumulate;
+    k^2 shifted-FMA == lax grouped conv (same products, f32 accumulate,
+    exact SAME geometry incl. odd sizes at stride 2;
     benchmarks/probe_dw_matrix.py picks per shape on TPU)."""
     from xpt_mde_tpu.models.backbones.efficientnet import DepthwiseConv
 
     rng = np.random.RandomState(3)
-    x = jnp.asarray(rng.rand(2, 16, 32, 24).astype(np.float32) * 2 - 1)
+    x = jnp.asarray(rng.rand(2, *hw, 24).astype(np.float32) * 2 - 1)
     dw = DepthwiseConv(kernel, stride, dtype=jnp.float32)
     variables = dw.init(jax.random.PRNGKey(0), x)
 

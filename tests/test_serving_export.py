@@ -57,3 +57,24 @@ def test_export_rejects_wrong_shape(tmp_path):
     except ValueError:
         return
     raise AssertionError("shape mismatch should raise")
+
+
+def test_export_uint8_input_decodes_in_artifact(tmp_path):
+    """Exporting from a raw_images loader batch (uint8 image5d) bakes
+    the [-1,1] decode INTO the artifact: serving it with uint8 inputs
+    equals serving the float artifact with decoded inputs."""
+    from xpt_mde_tpu.training.train_step import decode_image_features
+
+    model, variables, feats = _model_and_batch()
+    raw = {"image5d": jnp.asarray(
+        np.random.RandomState(1).randint(0, 256, (B, S, H, W, 3)),
+        jnp.uint8)}
+    out = export_predictor(model, variables, raw, tmp_path / "art_u8")
+    predictor = load_predictor(out)
+    assert predictor.meta["input_spec"]["image5d"]["dtype"] == "uint8"
+
+    got = predictor(raw)
+    want = model.apply(variables, decode_image_features(raw), train=False)
+    np.testing.assert_allclose(np.asarray(got["depth_ms"][0]),
+                               np.asarray(want["depth_ms"][0]),
+                               atol=1e-6, rtol=1e-6)

@@ -169,6 +169,50 @@ def evaluate_for_debug(state, loader, predict_step, debug_dir,
     return {"depth_rows": depth_rows, "pose_rows": pose_rows, "worst": worst}
 
 
+def debug_by_plan(cfg, dataset_factory=None) -> None:
+    """Walk TEST_PLAN running the model-driven debug evaluation per stage
+    (the reference's ModelValidaterDebug driver, evaluate_debug.py:92-131):
+    restore the stage checkpoint, run the test split, write per-frame
+    csvs + worst-N inspection views under datapath_evl."""
+    import jax.numpy as jnp
+
+    from xpt_mde_tpu.models import ModelFactory
+    from xpt_mde_tpu.training.checkpoint import CheckpointManager
+    from xpt_mde_tpu.training.optimizers import optimizer_factory
+    from xpt_mde_tpu.training.train_step import (create_train_state,
+                                                 decode_image_features,
+                                                 make_predict_step)
+    from xpt_mde_tpu.training.trainer import default_dataset_factory
+
+    dataset_factory = dataset_factory or default_dataset_factory(cfg)
+    for stage in cfg.test_plan:
+        debug_dir = (Path(cfg.datapath_evl) / stage.ckpt_name
+                     / f"debug_{stage.dataset}_{stage.weight_suffix}")
+        if debug_dir.exists():
+            print(f"[debug_by_plan] exists, skip: {debug_dir}")
+            continue
+        loader = dataset_factory(stage.dataset, "test", cfg.batch_size)
+        keys = loader.config_keys() if hasattr(loader, "config_keys") else \
+            loader.ds.keys()
+        model = ModelFactory(keys, stage.net_names, cfg.depth_activation,
+                             stereo=cfg.stereo, high_res=cfg.high_res,
+                             compute_dtype=cfg.compute_dtype).get_model()
+        batch = decode_image_features(
+            {k: jnp.asarray(v) for k, v in next(iter(loader)).items()})
+        state = create_train_state(model, batch,
+                                   optimizer_factory(cfg.optimizer, 1e-4))
+        ckpt = CheckpointManager(Path(cfg.datapath_ckp) / stage.ckpt_name)
+        state, loaded = ckpt.restore_params(state, stage.weight_suffix)
+        if not loaded:
+            print(f"[debug_by_plan] no weights for {stage.ckpt_name}, skip")
+            continue
+        out = evaluate_for_debug(state, loader, make_predict_step(model),
+                                 debug_dir)
+        print(f"[debug_by_plan] {stage.ckpt_name}: "
+              f"{len(out['depth_rows'])} frames, worst dumped for "
+              f"{list(out['worst'])}")
+
+
 def _write_csv(path: Path, header: str, rows) -> None:
     lines = [header]
     for r in rows:

@@ -157,7 +157,9 @@ def predict_by_plan(cfg: Config, dataset_factory=None) -> None:
         model = ModelFactory(keys, stage.net_names, cfg.depth_activation,
                              stereo=cfg.stereo, high_res=cfg.high_res,
                              compute_dtype=cfg.compute_dtype).get_model()
-        batch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
+        from xpt_mde_tpu.training.train_step import decode_image_features
+        batch = decode_image_features(
+            {k: jnp.asarray(v) for k, v in next(iter(loader)).items()})
         tx = optimizer_factory(cfg.optimizer, 1e-4)
         state = create_train_state(model, batch, tx)
         ckpt = CheckpointManager(Path(cfg.datapath_ckp) / stage.ckpt_name)

@@ -93,21 +93,27 @@ class DepthwiseConv(nn.Module):
                 x, k.astype(self.dtype), (self.stride, self.stride),
                 "SAME", feature_group_count=c,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        # lax SAME pad totals k-s; lo = (k-s)//2
-        pad = max(self.kernel - self.stride, 0) // 2
-        hi = self.kernel - 1 - pad
-        xp = jnp.pad(x, ((0, 0), (pad, hi), (pad, hi), (0, 0)))
+        # lax SAME padding, exact for any size/stride:
+        # total = (ceil(in/s)-1)*s + k - in, lo = total//2
+        def _same_pad(size):
+            total = max((-(-size // self.stride) - 1) * self.stride
+                        + self.kernel - size, 0)
+            return total // 2, total - total // 2
+
+        (ph_lo, ph_hi), (pw_lo, pw_hi) = _same_pad(h), _same_pad(w)
+        xp = jnp.pad(x, ((0, 0), (ph_lo, ph_hi), (pw_lo, pw_hi), (0, 0)))
         kf = k.astype(self.dtype)[:, :, 0]
+        s = self.stride
+        out_h, out_w = -(-h // s), -(-w // s)
         acc = None
         for u in range(self.kernel):
             for v in range(self.kernel):
                 t = jax.lax.slice(
                     xp, (0, u, v, 0),
-                    (b, u + h, v + w, c)).astype(jnp.float32) \
+                    (b, u + s * (out_h - 1) + 1, v + s * (out_w - 1) + 1, c),
+                    (1, s, s, 1)).astype(jnp.float32) \
                     * kf[u, v].astype(jnp.float32)
                 acc = t if acc is None else acc + t
-        if self.stride > 1:
-            acc = acc[:, ::self.stride, :, :][:, :, ::self.stride, :]
         return acc.astype(self.dtype)
 
 

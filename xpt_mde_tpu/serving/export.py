@@ -47,8 +47,15 @@ def export_predictor(model, variables: Mapping[str, Any],
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    from xpt_mde_tpu.training.train_step import decode_image_features
+
     def predict(features):
-        return model.apply(variables, features, train=False)
+        # uint8 image5d* decodes to [-1,1] float IN the artifact (no-op
+        # for float inputs): exporting from a raw_images loader yields a
+        # uint8-input artifact -- 4x smaller serving transfers -- and
+        # the normalization can never be forgotten by the client
+        return model.apply(variables, decode_image_features(features),
+                           train=False)
 
     specs = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
