@@ -129,3 +129,34 @@ def test_grads_synchronized_across_devices(dp_parts):
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     shards = [np.asarray(s.data) for s in leaf.addressable_shards[:2]]
     assert np.array_equal(shards[0], shards[1])
+
+
+def test_spatial_mesh_with_fma_depthwise(monkeypatch):
+    """The shape-routed FMA depthwise lowering (efficientnet.DepthwiseConv)
+    is pad+slice+FMA -- on the height-sharded spatial mesh GSPMD must
+    turn its halos into collective permutes and still match the
+    single-device step (forced via XPT_DW_MODE=fma; the auto gate only
+    fires at high-res shapes)."""
+    monkeypatch.setenv("XPT_DW_MODE", "fma")
+    data = SyntheticDataset(batch_size=4, height=32, width=64, num_batches=1)
+    model = ModelFactory(data.config_keys(),
+                         {"depth": "EfficientNetB0", "camera": "PoseNetBasic"},
+                         stereo=False).get_model()
+    total_loss = loss_factory(data.config_keys(), {"L1": 1.0},
+                              [4.0, 0.0, 0.0, 0.0], stereo=False,
+                              batch_size=4)
+    batch = {k: jnp.asarray(v) for k, v in next(iter(data)).items()}
+
+    from xpt_mde_tpu.training import make_train_step
+    state1 = _fresh_state(model, batch)
+    step1 = make_train_step(model, total_loss)
+    state1, m1 = step1(state1, batch, jax.random.PRNGKey(0))
+
+    mesh = make_mesh({"data": 4, "spatial": 2})
+    state8 = replicate_state(_fresh_state(model, batch), mesh)
+    sharded = shard_batch(batch, mesh)
+    step8 = make_parallel_train_step(model, total_loss, mesh)
+    state8, m8 = step8(state8, sharded, jax.random.PRNGKey(0))
+
+    assert np.isclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4), (
+        float(m1["loss"]), float(m8["loss"]))
