@@ -316,3 +316,168 @@ def test_driving_stereo_reader(driving_dir):
     np.testing.assert_allclose(pcd[:, 2], 12.0, rtol=1e-6)
     assert reader.get_point_cloud(2, right=True) is None
     assert reader.get_pose(2) is None
+
+
+# --------------------------------------------------------------------------
+# ExampleMaker + ShardMaker through the zip-backed readers
+
+
+@pytest.fixture(scope="module")
+def city_zips_big(tmp_path_factory):
+    """12-frame cityscapes fixture at a realistic aspect for the
+    example-maker resize/crop chain."""
+    base = tmp_path_factory.mktemp("cityscapes_big")
+    rng = np.random.RandomState(5)
+    h, w = 128, 512  # CITY_CROP -> 128 x 464
+    left = zipfile.ZipFile(base / "leftImg8bit_sequence_trainvaltest.zip", "w")
+    right = zipfile.ZipFile(base / "rightImg8bit_sequence_trainvaltest.zip",
+                            "w")
+    cam = zipfile.ZipFile(base / "camera_trainvaltest.zip", "w")
+    disp = zipfile.ZipFile(base / "disparity_trainvaltest.zip", "w")
+    for i in range(14):
+        stem = f"aachen_000000_{i:06d}"
+        left.writestr(f"leftImg8bit_sequence/train/aachen/"
+                      f"{stem}_leftImg8bit.png",
+                      _png_bytes(rng.randint(0, 255, (h, w, 3), np.uint8)))
+        right.writestr(f"rightImg8bit_sequence/train/aachen/"
+                       f"{stem}_rightImg8bit.png",
+                       _png_bytes(rng.randint(0, 255, (h, w, 3), np.uint8)))
+        dmap = np.zeros((h, w), np.uint16)
+        dmap[::3, ::3] = 257  # sparse 1-px disparities
+        disp.writestr(f"disparity_sequence/train/aachen/"
+                      f"{stem}_disparity.png", _png_bytes(dmap))
+    cam.writestr("camera/train/aachen/aachen_000000_camera.json",
+                 json.dumps({"intrinsic": {"fx": 400.0, "fy": 410.0,
+                                           "u0": 256.0, "v0": 64.0},
+                             "extrinsic": {"baseline": 0.22}}))
+    for z in (left, right, cam, disp):
+        z.close()
+    return base
+
+
+def test_cityscapes_example_maker_stride2(city_zips_big):
+    """Snippets use stride-2 frame ids for cityscapes
+    (example_maker.py:97-99) and the aspect-preserving resize + bottom
+    crop chain produces the target shape with rescaled intrinsics."""
+    from xpt_mde_tpu.data.example_maker import ExampleMaker
+
+    shwc = (5, 32, 96, 3)
+    keys = ["image", "intrinsic", "image_R", "intrinsic_R", "depth_gt",
+            "stereo_T_LR"]
+    maker = ExampleMaker("cityscapes", "train", shwc, keys, city_zips_big)
+    drive = "leftImg8bit_sequence/train/aachen/aachen"
+    maker.init_reader(drive)
+    rng_ids = list(maker.get_range())
+    assert rng_ids == [4, 5, 6, 7, 8, 9]
+
+    target = 5
+    frame_id, seq = maker.make_snippet_ids(target)
+    assert seq == [1, 3, 5, 7, 9]  # stride 2 around the target
+    # drive-tail snippets clip to max(get_range()) and repeat the last
+    # frame -- reference parity (example_maker.py:102)
+    _, tail = maker.make_snippet_ids(9)
+    assert tail == [5, 7, 9, 9, 9]
+
+    ex = maker.get_example(target)
+    assert ex["image"].shape == (5 * 32, 96, 3)
+    assert ex["image_R"].shape == (5 * 32, 96, 3)
+    # crop 128x464 -> resize (32, 116) -> center-crop width to 96
+    np.testing.assert_allclose(ex["intrinsic"][0, 0], 400.0 * 116 / 464,
+                               rtol=1e-3)
+    np.testing.assert_allclose(ex["intrinsic"][1, 1], 410.0 * 32 / 128,
+                               rtol=1e-3)
+    # disparity-derived depth: fx_raw * baseline / 1 px
+    depth = ex["depth_gt"]
+    assert depth.shape == (32, 96, 1)
+    positive = depth[depth > 0]
+    assert positive.size > 0
+    np.testing.assert_allclose(positive, 400.0 * 0.22, rtol=1e-4)
+    np.testing.assert_allclose(ex["stereo_T_LR"][0, 3], 0.22)
+
+
+def test_cityscapes_shard_maker(city_zips_big, tmp_path):
+    """Full conversion driver over the zip-backed reader."""
+    from xpt_mde_tpu.config import Config
+    from xpt_mde_tpu.data.shard_io import ShardDataset
+    from xpt_mde_tpu.data.shard_maker import ShardMaker
+
+    cfg = Config(datapath=str(tmp_path),
+                 image_size_overrides={"cityscapes": (32, 96)})
+    out = ShardMaker(cfg, "cityscapes", "train", city_zips_big,
+                     data_keys=["image", "intrinsic", "stereo_T_LR"],
+                     drives=["leftImg8bit_sequence/train/aachen/aachen"]
+                     ).make()
+    ds = ShardDataset(out)
+    assert len(ds) == 6
+    ex = ds.read_example(0)
+    assert ex["image"].shape == (5 * 32, 96, 3)
+
+
+@pytest.fixture(scope="module")
+def a2d2_dir_big(tmp_path_factory):
+    """12-frame a2d2 fixture (stride-2 snippets need ids up to t+4)."""
+    base = tmp_path_factory.mktemp("a2d2_big")
+    rng = np.random.RandomState(6)
+    h, w = 32, 96
+    cam_mat = [[60.0, 0.0, 48.0], [0.0, 65.0, 16.0], [0.0, 0.0, 1.0]]
+    cfg = {"cameras": {}}
+    for cam, ox in [("front_left", 0.0), ("front_right", 0.3)]:
+        cfg["cameras"][cam] = {
+            "CamMatrix": cam_mat, "CamMatrixOriginal": cam_mat,
+            "Distortion": [0.0, 0.0, 0.0, 0.0], "Lens": "Telecam",
+            "Resolution": [w, h],
+            "view": {"x-axis": [1.0, 0.0, 0.0], "y-axis": [0.0, 1.0, 0.0],
+                     "origin": [ox, 0.0, 0.0]},
+        }
+    (base / "cams_lidars.json").write_text(json.dumps(cfg))
+    zips = {key: zipfile.ZipFile(base / f"20180807_145028_{key}.zip", "w")
+            for key in ("camera_frontleft", "camera_frontright",
+                        "lidar_frontleft", "lidar_frontright")}
+    for i in range(12):
+        for side, cam in [("frontleft", "front_left"),
+                          ("frontright", "front_right")]:
+            name = (f"camera/cam_{cam}/20180807145028_camera_{side}_"
+                    f"{i:09d}.png")
+            zips[f"camera_{side}"].writestr(
+                name, _png_bytes(rng.randint(0, 255, (h, w, 3), np.uint8)))
+            buf = io.BytesIO()
+            rows = np.arange(4, 28, 2.0)
+            np.savez(buf, **{"pcloud_attr.row": rows,
+                             "pcloud_attr.col": rows * 3,
+                             "pcloud_attr.depth": np.full(len(rows), 9.0)})
+            zips[f"lidar_{side}"].writestr(
+                name.replace("_camera_", "_lidar_")
+                    .replace("/camera/", "/lidar/")
+                    .replace(".png", ".npz"), buf.getvalue())
+    for z in zips.values():
+        z.close()
+    return base
+
+
+def test_a2d2_example_maker_stride2(a2d2_dir_big):
+    from xpt_mde_tpu.data.example_maker import ExampleMaker
+    from xpt_mde_tpu.data.readers.a2d2_reader import A2D2Reader
+
+    shwc = (5, 32, 96, 3)
+    keys = ["image", "intrinsic", "image_R", "intrinsic_R", "depth_gt",
+            "stereo_T_LR"]
+    maker = ExampleMaker("a2d2", "train", shwc, keys, a2d2_dir_big)
+    drive = A2D2Reader("train", a2d2_dir_big).list_drive_paths()[0]
+    maker.init_reader(drive)
+
+    target = 5
+    frame_id, seq = maker.make_snippet_ids(target)
+    assert seq == [1, 3, 5, 7, 9]  # stride 2 for a2d2
+
+    ex = maker.get_example(target)
+    assert ex["image"].shape == (5 * 32, 96, 3)
+    assert ex["image_R"].shape == (5 * 32, 96, 3)
+    assert ex["intrinsic"].shape == (3, 3)
+    # lidar splat depths survive the resize/crop
+    depth = ex["depth_gt"]
+    assert depth.shape == (32, 96, 1)
+    positive = depth[depth > 0]
+    assert positive.size > 0
+    np.testing.assert_allclose(positive, 9.0, rtol=1e-4)
+    np.testing.assert_allclose(ex["stereo_T_LR"][:3, 3], [0.3, 0, 0],
+                               atol=1e-6)
