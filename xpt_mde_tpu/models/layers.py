@@ -15,6 +15,7 @@ from typing import Any, Callable
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def default_kernel_init(stddev: float = 0.025):
@@ -84,16 +85,12 @@ def packed_concat(parts) -> jnp.ndarray:
     return cat.reshape(cat.shape[:-2] + (4 * cat.shape[-1],))
 
 
-def pack_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
-    """Lift a 3x3 stride-1 SAME conv kernel [3, 3, Cin, Cout] to the
-    space-to-depth domain: [3, 3, 4Cin, 4Cout] such that
-    conv(x, w) == depth_to_space(conv(space_to_depth(x), wp)) exactly
-    (same multiply-adds; zero blocks where a fine-grid tap falls outside
-    the 3x3 footprint). Fine-grid row 2i+oi+u maps to packed row i+s with
-    sub-offset di via u = 2s + di - oi."""
-    kh, kw, cin, cout = w.shape
-    assert (kh, kw) == (3, 3), "packed conv supports 3x3 kernels only"
-    wp = jnp.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
+def _pack_placement():
+    """Static (tap index, validity) tables for pack_conv_kernel:
+    [3, 3, 4(in-block), 4(out-block)] -> flattened 3x3 tap (or 0) +
+    mask. Pure numpy constants — shape-independent."""
+    idx = np.zeros((3, 3, 4, 4), np.int32)
+    msk = np.zeros((3, 3, 4, 4), np.float32)
     for s in range(3):
         for t in range(3):
             for di in range(2):
@@ -102,14 +99,32 @@ def pack_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
                     v = 2 * (t - 1) + dj
                     for oi in range(2):
                         for oj in range(2):
-                            if not (-1 <= u - oi <= 1 and -1 <= v - oj <= 1):
-                                continue
-                            ci = (di * 2 + dj) * cin
-                            co = (oi * 2 + oj) * cout
-                            wp = wp.at[s, t, ci:ci + cin,
-                                       co:co + cout].set(w[u - oi + 1,
-                                                           v - oj + 1])
-    return wp
+                            if -1 <= u - oi <= 1 and -1 <= v - oj <= 1:
+                                ib, ob = di * 2 + dj, oi * 2 + oj
+                                idx[s, t, ib, ob] = (u - oi + 1) * 3 \
+                                    + (v - oj + 1)
+                                msk[s, t, ib, ob] = 1.0
+    return idx, msk
+
+
+_PACK_IDX, _PACK_MASK = _pack_placement()
+
+
+def pack_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Lift a 3x3 stride-1 SAME conv kernel [3, 3, Cin, Cout] to the
+    space-to-depth domain: [3, 3, 4Cin, 4Cout] such that
+    conv(x, w) == depth_to_space(conv(space_to_depth(x), wp)) exactly
+    (same multiply-adds; zero blocks where a fine-grid tap falls outside
+    the 3x3 footprint). Fine-grid row 2i+oi+u maps to packed row i+s
+    with sub-offset di via u = 2s + di - oi; the (block -> tap) map is
+    the static _PACK_IDX table, so the lift is ONE gather + mask per
+    forward instead of 144 traced buffer updates."""
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3), "packed conv supports 3x3 kernels only"
+    taps = w.reshape(9, cin, cout)[_PACK_IDX]       # [3,3,4,4,Cin,Cout]
+    taps = taps * jnp.asarray(_PACK_MASK, w.dtype)[..., None, None]
+    # block-major packed channels: [3,3, ib,Cin, ob,Cout] -> [3,3,4Ci,4Co]
+    return taps.transpose(0, 1, 2, 4, 3, 5).reshape(3, 3, 4 * cin, 4 * cout)
 
 
 class PackedConv2D(nn.Module):
@@ -143,6 +158,10 @@ class PackedConv2D(nn.Module):
 
 def upsample_2x(x: jnp.ndarray, method: str = "nearest") -> jnp.ndarray:
     """2x spatial upsampling of [..., H, W, C]."""
+    if method not in ("nearest", "linear", "bilinear"):
+        # a typo here would also silently disable the packed decoder
+        # tail (DepthDecoder gates on upsample_interp == "nearest")
+        raise ValueError(f"unknown upsample method: {method!r}")
     shape = x.shape[:-3] + (x.shape[-3] * 2, x.shape[-2] * 2, x.shape[-1])
     m = "nearest" if method == "nearest" else "linear"
     return jax.image.resize(x, shape, method=m)

@@ -68,9 +68,6 @@ _NPIX = int(os.environ.get("XPT_WARP_NPIX", "1024"))
 
 VMEM_LIMIT_BYTES = 12 * 1024 * 1024
 
-# flipped to True by tests running on CPU
-_INTERPRET = {"on": False}
-
 
 def _dot1(a, b):
     return jax.lax.dot_general(
@@ -194,16 +191,17 @@ def _prep(image, pixel_coords, valid_mask):
     u = coords[:, :, 0].reshape(bn, ntiles, 1, _NPIX)
     v = coords[:, :, 1].reshape(bn, ntiles, 1, _NPIX)
     if valid_mask is not None:
-        mask = jnp.broadcast_to(
-            valid_mask.reshape(batch, 1, height * width),
-            (batch, numsrc, height * width)).reshape(
-                bn, ntiles, 1, _NPIX).astype(jnp.float32)
+        # per-BATCH tiles; the kernel grid re-reads the same block for
+        # every source via the index map (no numsrc-fold HBM copy)
+        mask = valid_mask.reshape(batch, ntiles, 1, _NPIX) \
+            .astype(jnp.float32)
     else:
-        mask = jnp.zeros((bn, 1, 1, _NPIX), jnp.float32)
+        mask = jnp.zeros((batch, 1, 1, _NPIX), jnp.float32)
     return img_t, u, v, mask
 
 
-def _call_kernel(image, pixel_coords, valid_mask, with_grads, mode):
+def _call_kernel(image, pixel_coords, valid_mask, with_grads, mode,
+                 interpret):
     batch, numsrc, height, width, channels = image.shape
     use_mask = valid_mask is not None
     img_t, u, v, mask = _prep(image, pixel_coords, valid_mask)
@@ -216,9 +214,10 @@ def _call_kernel(image, pixel_coords, valid_mask, with_grads, mode):
         use_mask=use_mask, with_grads=with_grads, mode=mode)
     slots = _SLOTS if with_grads else 1
     mask_spec = (pl.BlockSpec((1, 1, 1, _NPIX),
-                              lambda b, t: (b, t, 0, 0)) if use_mask
+                              lambda b, t: (b // numsrc, t, 0, 0))
+                 if use_mask
                  else pl.BlockSpec((1, 1, 1, _NPIX),
-                                   lambda b, t: (b, 0, 0, 0)))
+                                   lambda b, t: (b // numsrc, 0, 0, 0)))
     # single stacked f32 output [bn, C, nt, slots, NPIX]: slot 0 is the
     # warped view; slots 1-4 (training) are J_f, J_c, D_f, D_c
     out = pl.pallas_call(
@@ -235,7 +234,7 @@ def _call_kernel(image, pixel_coords, valid_mask, with_grads, mode):
                                lambda b, t: (b, 0, t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(
             (bn, channels, ntiles, slots, _NPIX), jnp.float32),
-        interpret=_INTERPRET["on"],
+        interpret=interpret,
     )(img_t, u, v, mask)
     return [out[:, :, :, k] for k in range(slots)]
 
@@ -246,19 +245,20 @@ def _to_bnhwc(x, batch, numsrc, height, width):
         x.reshape(batch, numsrc, channels, height, width), (0, 1, 3, 4, 2))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _warp_const(image, pixel_coords, mask_arg, use_mask, mode):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _warp_const(image, pixel_coords, mask_arg, use_mask, mode, interpret):
     out, = _call_kernel(image, pixel_coords,
                         mask_arg if use_mask else None,
-                        with_grads=False, mode=mode)
+                        with_grads=False, mode=mode, interpret=interpret)
     b, n, h, w, _ = image.shape
     return _to_bnhwc(out, b, n, h, w).astype(image.dtype)
 
 
-def _warp_const_fwd(image, pixel_coords, mask_arg, use_mask, mode):
+def _warp_const_fwd(image, pixel_coords, mask_arg, use_mask, mode,
+                    interpret):
     outs = _call_kernel(image, pixel_coords,
                         mask_arg if use_mask else None,
-                        with_grads=True, mode=mode)
+                        with_grads=True, mode=mode, interpret=interpret)
     out, j_f, j_c, d_f, d_c = outs
     b, n, h, w, _ = image.shape
     res = (tuple(_to_bnhwc(x, b, n, h, w) for x in (j_f, j_c, d_f, d_c)),
@@ -267,7 +267,7 @@ def _warp_const_fwd(image, pixel_coords, mask_arg, use_mask, mode):
     return _to_bnhwc(out, b, n, h, w).astype(image.dtype), res
 
 
-def _warp_const_bwd(use_mask, mode, res, g):
+def _warp_const_bwd(use_mask, mode, interpret, res, g):
     (j_f, j_c, d_f, d_c), pixel_coords, mask_arg, img_sd = res
     batch, numsrc, height, width, _ = img_sd.shape
     hw = height * width
@@ -322,12 +322,12 @@ def bilinear_sample_const_src(image: jnp.ndarray,
     if mode is None:
         mode = "bf16" if fast else "exact"
     assert mode in ("exact", "bf16", "int8"), mode
-    _INTERPRET["on"] = interpret
     use_mask = valid_mask is not None
     mask_arg = (valid_mask if use_mask
                 else jnp.zeros((image.shape[0], image.shape[2],
                                 image.shape[3], 1), jnp.float32))
-    return _warp_const(image, pixel_coords, mask_arg, use_mask, mode)
+    return _warp_const(image, pixel_coords, mask_arg, use_mask, mode,
+                       interpret)
 
 
 def _vmem_bytes(height, width, channels, mode="bf16"):
