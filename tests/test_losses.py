@@ -187,3 +187,21 @@ def test_md2_min_over_sources():
     augm = {"synth_target_ms": [synth], "target": jnp.asarray(target)}
     loss = np.asarray(loss_obj({}, {}, augm))
     assert np.allclose(loss, 0.0, atol=1e-6)
+
+
+def test_md2cmb_registered_and_finite():
+    """MD2Comb (min-over-source + flow outlier exclusion) is reachable
+    through the factory -- the reference defines it but never registers
+    it (losses.py:324-374 vs loss_factory.py:9-32)."""
+    features, preds = _make_features_preds()
+    rng = np.random.RandomState(7)
+    b, _, h, w, _ = features["image5d"].shape
+    preds["flow_ms"] = [jnp.asarray(
+        rng.uniform(-1, 1, (b, 2, h // s, w // s, 2)).astype(np.float32))
+        for s in (1, 2, 4, 8)]
+    recipe = {"md2cmbL1": 0.7, "md2cmbSSIM": 0.3}
+    total = tl.loss_factory(list(features.keys()), recipe,
+                            cfg.SCALE_WEIGHT_T1, stereo=False)
+    loss, by_type = total(preds, features)
+    assert set(by_type.keys()) == {"md2cmbL1", "md2cmbSSIM"}
+    assert np.isfinite(float(loss)) and float(loss) > 0

@@ -160,3 +160,21 @@ def test_spatial_mesh_with_fma_depthwise(monkeypatch):
 
     assert np.isclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4), (
         float(m1["loss"]), float(m8["loss"]))
+
+
+def test_spatial_mesh_does_not_shard_pose_axes():
+    """Spatial sharding keys off the feature NAME, not rank: pose_gt
+    [B, numsrc, 4, 4] must stay data-sharded (its axis 1 is numsrc, not
+    height) -- a rank-based rule crashed when numsrc % spatial != 0."""
+    mesh = make_mesh({"data": 1, "spatial": 8})
+    batch = {
+        "image5d": jnp.zeros((8, 5, 16, 32, 3)),
+        "depth_gt": jnp.zeros((8, 16, 32, 1)),
+        "pose_gt": jnp.zeros((8, 4, 4, 4)),     # numsrc=4 not divisible by 8
+        "stereo_T_LR": jnp.zeros((8, 4, 4)),
+    }
+    sharded = shard_batch(batch, mesh)
+    assert sharded["image5d"].sharding.spec == ("data", None, "spatial")
+    assert sharded["depth_gt"].sharding.spec == ("data", "spatial")
+    assert sharded["pose_gt"].sharding.spec == ("data",)
+    assert sharded["stereo_T_LR"].sharding.spec == ("data",)

@@ -316,15 +316,17 @@ class TotalLoss:
         if ("stereo_T_LR" not in features) or ("depth_ms" not in predictions):
             return out
         t_lr = features["stereo_T_LR"]  # [B, 4, 4]
-        pose_rl = se3.matrix_to_twist(se3.invert_matrix(t_lr))[:, None]  # [B,1,6]
-        pose_lr = se3.matrix_to_twist(t_lr)[:, None]
-
+        # matrices go in directly (synthesize_multi_scale accepts 4x4);
+        # the reference's matrix->twist->matrix round-trip is an
+        # implementation detail, not semantics. The LEFT intrinsic is
+        # used for BOTH directions -- reference parity (losses.py:126-138
+        # passes features["intrinsic"] to both SynthesizeMultiScale calls)
         out["stereo_synth_ms"] = synthesize_multi_scale(
             augm_data["target_R"][:, None], features["intrinsic"],
-            predictions["depth_ms"], pose_rl)
+            predictions["depth_ms"], se3.invert_matrix(t_lr)[:, None])
         out["stereo_synth_ms_R"] = synthesize_multi_scale(
-            augm_data["target"][:, None], features["intrinsic_R"],
-            predictions["depth_ms_R"], pose_lr)
+            augm_data["target"][:, None], features["intrinsic"],
+            predictions["depth_ms_R"], t_lr[:, None])
         return out
 
 
@@ -332,11 +334,12 @@ class TotalLoss:
 # registry / factory
 
 LOSS_DEPENDENCIES = [
-    (["L1", "SSIM", "md2L1", "md2SSIM", "cmbL1", "cmbSSIM", "moaL1", "moaSSIM",
-      "smoothe", "flowL2", "flow_reg"],
+    (["L1", "SSIM", "md2L1", "md2SSIM", "cmbL1", "cmbSSIM", "md2cmbL1",
+      "md2cmbSSIM", "moaL1", "moaSSIM", "smoothe", "flowL2", "flow_reg"],
      ["image", "intrinsic"]),
     (["L1_R", "SSIM_R", "md2L1_R", "md2SSIM_R", "cmbL1_R", "cmbSSIM_R",
-      "moaL1_R", "moaSSIM_R", "smoothe_R", "flowL2_R"],
+      "md2cmbL1_R", "md2cmbSSIM_R", "moaL1_R", "moaSSIM_R", "smoothe_R",
+      "flowL2_R"],
      ["image_R", "intrinsic_R"]),
     (["stereoL1", "stereoSSIM", "stereoPose",
       "moaL1", "moaSSIM", "moaL1_R", "moaSSIM_R"],
@@ -377,6 +380,10 @@ def loss_factory(dataset_keys, loss_weights: Mapping[str, float],
         pool["md2SSIM" + sfx] = MonoDepth2LossMultiScale("SSIM", sw, sfx)
         pool["cmbL1" + sfx] = CombinedLossMultiScale("L1", sw, sfx)
         pool["cmbSSIM" + sfx] = CombinedLossMultiScale("SSIM", sw, sfx)
+        # the reference defines this variant but forgets to register it
+        # (losses.py:324-374 vs loss_factory.py:9-32); here it is usable
+        pool["md2cmbL1" + sfx] = MD2CombLossMultiScale("L1", sw, sfx)
+        pool["md2cmbSSIM" + sfx] = MD2CombLossMultiScale("SSIM", sw, sfx)
         pool["moaL1" + sfx] = MoALossMultiScale("L1", sw, sfx)
         pool["moaSSIM" + sfx] = MoALossMultiScale("SSIM", sw, sfx)
         pool["smoothe" + sfx] = SmoothenessLossMultiScale(

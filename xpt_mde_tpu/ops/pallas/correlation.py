@@ -99,7 +99,7 @@ def _corr_grad_cr_kernel(g_pad_ref, cl_pad_ref, out_ref, *, offsets, height,
     out_ref[0] = (acc / channels).astype(out_ref.dtype)
 
 
-def _frame_specs(shapes, dtype):
+def _frame_specs(shapes):
     """One whole [1, *shape] frame per grid step, resident in VMEM."""
     return [pl.BlockSpec((1,) + tuple(shape),
                          lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM)
@@ -118,8 +118,8 @@ def _corr_forward(cl, cr, offsets, interpret):
     out = pl.pallas_call(
         kernel,
         grid=(batch,),
-        in_specs=_frame_specs([clf.shape[1:], cr_pad.shape[1:]], cl.dtype),
-        out_specs=_frame_specs([(n_out, height, width)], cl.dtype)[0],
+        in_specs=_frame_specs([clf.shape[1:], cr_pad.shape[1:]]),
+        out_specs=_frame_specs([(n_out, height, width)])[0],
         out_shape=jax.ShapeDtypeStruct((batch, n_out, height, width),
                                        cl.dtype),
         interpret=interpret,
@@ -153,8 +153,8 @@ def _corr_pallas_bwd(offsets, interpret, residuals, g):
     dcl = pl.pallas_call(
         cl_kernel,
         grid=(batch,),
-        in_specs=_frame_specs([gf.shape[1:], cr_pad.shape[1:]], cl.dtype),
-        out_specs=_frame_specs([clf.shape[1:]], cl.dtype)[0],
+        in_specs=_frame_specs([gf.shape[1:], cr_pad.shape[1:]]),
+        out_specs=_frame_specs([clf.shape[1:]])[0],
         out_shape=jax.ShapeDtypeStruct(clf.shape, cl.dtype),
         interpret=interpret,
     )(gf, cr_pad)
@@ -167,8 +167,8 @@ def _corr_pallas_bwd(offsets, interpret, residuals, g):
     dcr = pl.pallas_call(
         cr_kernel,
         grid=(batch,),
-        in_specs=_frame_specs([g_pad.shape[1:], cl_pad.shape[1:]], cl.dtype),
-        out_specs=_frame_specs([crf.shape[1:]], cr.dtype)[0],
+        in_specs=_frame_specs([g_pad.shape[1:], cl_pad.shape[1:]]),
+        out_specs=_frame_specs([crf.shape[1:]])[0],
         out_shape=jax.ShapeDtypeStruct(crf.shape, cr.dtype),
         interpret=interpret,
     )(g_pad, cl_pad)
@@ -187,10 +187,14 @@ def _vmem_estimate_bytes(shape, max_displacement, stride, dtype) -> int:
     itemsize = jnp.dtype(dtype).itemsize
     frame = height * width
     padded = (height + 2 * md) * (width + 2 * md)
-    fwd = (frame * channels + padded * channels + frame * n_out) * itemsize
-    bwd_cl = (frame * n_out + padded * channels + frame * channels) * itemsize
-    # bwd_cr holds padded g (the large one) + padded cl + out, and its f32
-    # accumulator
+    # every kernel also keeps a full-frame f32 working set: fwd upcasts
+    # cl once ([C,H,W] f32), both backward kernels hold a [C,H,W] f32
+    # accumulator live across the unrolled displacement loop
+    f32_cl = frame * channels * 4
+    fwd = (frame * channels + padded * channels + frame * n_out) * itemsize \
+        + f32_cl
+    bwd_cl = (frame * n_out + padded * channels + frame * channels) \
+        * itemsize + f32_cl
     bwd_cr = (padded * n_out + padded * channels) * itemsize \
         + frame * channels * (itemsize + 4)
     return max(fwd, bwd_cl, bwd_cr)

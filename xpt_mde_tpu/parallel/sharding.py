@@ -37,16 +37,24 @@ def _has_spatial(mesh: Mesh) -> bool:
     return "spatial" in mesh.axis_names and mesh.shape["spatial"] > 1
 
 
-def feature_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+# feature-name prefixes whose arrays carry spatial (H, W) axes; poses,
+# intrinsics and extrinsics stay data-sharded only even though pose_gt
+# is 4-D ([B, numsrc, 4, 4] -- its axis 1 is NOT height)
+_SPATIAL_KEYS = ("image", "depth_gt", "flow_gt")
+
+
+def feature_sharding(mesh: Mesh, ndim: int, name: str = "") -> NamedSharding:
     """Sharding spec for one feature array.
 
     1-D mesh: everything shards on the leading batch axis. 2-D
-    ``("data", "spatial")`` mesh (high-res scaling): image tensors also
-    shard their height axis -- [B, S, H, W, C] -> P(data, None, spatial),
-    [B, H, W, C] -> P(data, spatial); small per-example tensors
-    (intrinsics, poses) stay data-sharded only. XLA's SPMD partitioner
-    turns the conv halos into ICI collective-permutes."""
-    if _has_spatial(mesh) and ndim >= 4:
+    ``("data", "spatial")`` mesh (high-res scaling): image-like tensors
+    (by feature NAME -- image*/depth_gt*/flow_gt*) also shard their
+    height axis -- [B, S, H, W, C] -> P(data, None, spatial),
+    [B, H, W, C] -> P(data, spatial); per-example tensors (intrinsics,
+    poses) stay data-sharded only regardless of rank. XLA's SPMD
+    partitioner turns the conv halos into ICI collective-permutes."""
+    spatial = name.startswith(_SPATIAL_KEYS)
+    if _has_spatial(mesh) and spatial and ndim >= 4:
         spec = (("data", None, "spatial") if ndim >= 5
                 else ("data", "spatial"))
         return NamedSharding(mesh, P(*spec))
@@ -56,12 +64,9 @@ def feature_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 def shard_batch(features: Mapping[str, Any], mesh: Mesh) -> dict:
     """Device-put every feature array with its mesh sharding (batch axis,
     plus the image height axis on a 2-D data x spatial mesh)."""
-    return {k: jax.device_put(v, feature_sharding(mesh, jnp_ndim(v)))
+    import numpy as np
+    return {k: jax.device_put(v, feature_sharding(mesh, np.ndim(v), k))
             for k, v in features.items()}
-
-
-def jnp_ndim(x) -> int:
-    return getattr(x, "ndim", None) or len(getattr(x, "shape", ()))
 
 
 def replicate_state(state, mesh: Mesh):
@@ -79,30 +84,12 @@ def make_parallel_train_step(model, total_loss, mesh: Mesh,
     which case the global batch dim of the sharded array is used, which
     is already global under SPMD).
     """
-    from xpt_mde_tpu.training import train_step as ts
+    from xpt_mde_tpu.training.train_step import make_train_step
 
-    def step_body(state, features, rng):
-        features = ts.decode_image_features(features)
-        if augmenter is not None:
-            aug_rng, rng = jax.random.split(rng)
-            features = augmenter(dict(features), aug_rng)
-
-        def loss_fn(params):
-            preds, new_bs = ts._forward(model, state, params, features, True)
-            if regularize_net is not None and regularize_net in params:
-                preds = dict(preds)
-                preds["regularize_weights"] = params[regularize_net]
-            loss, loss_by_type = total_loss(preds, features)
-            return loss, (loss_by_type, new_bs, preds)
-
-        (loss, (loss_by_type, new_bs, preds)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        state = state.apply_gradients(grads=grads)
-        if new_bs is not None:
-            state = state.replace(batch_stats=new_bs)
-        metrics = ts._compute_metrics(preds, features, loss, loss_by_type)
-        return state, metrics
-
+    # the SAME step function as the single-device path (no duplicated
+    # body to drift); only the jit shardings differ
+    step_body = make_train_step(model, total_loss, augmenter=augmenter,
+                                regularize_net=regularize_net, jit=False)
     repl = _replicated(mesh)
     # features keep the shardings shard_batch committed them with (data
     # axis always; + height over "spatial" on a 2-D mesh)
