@@ -79,3 +79,19 @@ def test_stack_titled_images_resizes_small_views():
     panel = stack_titled_images(views)
     assert panel.shape[1] == 32
     assert panel.dtype == np.uint8
+
+
+def test_history_csv_widens_for_new_metrics(tmp_path):
+    """A later stage introducing metrics (flow losses, first val split)
+    must WIDEN history.csv, not silently drop the new columns."""
+    logger = TrainingLogger(tmp_path)
+    logger.save_log(0, {"loss": 1.0}, {})
+    logger.save_log(1, {"loss": 0.9, "loss_flowL2": 0.1}, {"loss": 0.8})
+    lines = (tmp_path / "history.csv").read_text().strip().splitlines()
+    header = lines[0].split(",")
+    assert "train_loss_flowL2" in header and "val_loss" in header
+    # epoch-0 row padded with empties to the widened header
+    assert len(lines[1].split(",")) == len(header)
+    row1 = dict(zip(header, lines[2].split(",")))
+    assert float(row1["train_loss_flowL2"]) == 0.1
+    assert float(row1["val_loss"]) == 0.8

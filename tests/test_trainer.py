@@ -104,3 +104,32 @@ def test_multi_dataset_plan_with_different_resolutions(tmp_path):
     hist = (ckpt_dir / "history.csv").read_text().strip().splitlines()
     assert len(hist) == 3  # both stages trained
     assert (ckpt_dir / "depthnet_ep02.msgpack").is_file()
+
+
+def test_full_state_resume_is_stage_scoped(tmp_path):
+    """A trainstate checkpoint from stage N must NOT 'exactly resume'
+    into stage N+1 even when the net/optimizer trees match -- each stage
+    starts a fresh optimizer (reference stage-handoff semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xpt_mde_tpu.models import ModelFactory
+    from xpt_mde_tpu.training.checkpoint import CheckpointManager
+    from xpt_mde_tpu.training import create_train_state, optimizer_factory
+
+    model = ModelFactory(["image", "intrinsic"],
+                         {"depth": "DepthNetBasic", "camera": "PoseNetBasic"},
+                         stereo=False).get_model()
+    feats = {"image5d": jnp.zeros((1, 5, 32, 64, 3)),
+             "intrinsic": jnp.eye(3)[None]}
+    tx = optimizer_factory("adam_constant", 1e-4)
+    state = create_train_state(model, feats, tx)
+    ckpt = CheckpointManager(tmp_path)
+    ckpt.save(state, "latest", stage_idx=0)
+
+    fresh = create_train_state(model, feats, tx)
+    assert ckpt.restore_full(fresh, stage_idx=0) is not None  # same stage
+    assert ckpt.restore_full(fresh, stage_idx=1) is None      # next stage
+    # per-net weights still load for the stage handoff
+    _, loaded = ckpt.restore_params(fresh)
+    assert loaded

@@ -72,6 +72,7 @@ class NativeShardReader:
         if lib is None:
             raise RuntimeError("native library unavailable")
         self.lib = lib
+        self.num_threads = num_threads
         self.ds = ShardDataset(shard_dir)  # schema + length bookkeeping
         paths = sorted(Path(shard_dir).glob("shard_*.vrec"))
         arr = (ctypes.c_char_p * len(paths))(
@@ -112,7 +113,8 @@ class NativeShardReader:
                 dec = np.empty(field.size, np.float32)
                 self.lib.sr_decode_images(
                     field.ctypes.data_as(ctypes.c_void_p),
-                    dec.ctypes.data_as(ctypes.c_void_p), field.size, 8)
+                    dec.ctypes.data_as(ctypes.c_void_p), field.size,
+                    self.num_threads)
                 batch[key] = dec.reshape((n,) + shape)
             else:
                 batch[key] = field.view(dt).reshape((n,) + shape)
@@ -150,18 +152,13 @@ class NativeDatasetLoader(DatasetLoader):
             idxs = order[start:start + self.batch_size]
             raw = self.native.read_batch(idxs,
                                          decode_images=not self.raw_images)
-            feats = {}
-            for key, val in raw.items():
-                if key.startswith("image"):
-                    sfx = key[5:]
-                    b, sh, w, c = val.shape
-                    s = self.snippet_len
-                    feats["image5d" + sfx] = val.reshape(b, s, sh // s, w, c)
-                elif key.startswith("depth_gt") and val.ndim == 3:
-                    feats[key] = val[..., None]
-                else:
-                    feats[key] = val
-            yield feats
+            yield self._format_batch(raw)
+
+    def example_batch(self) -> dict:
+        idxs = np.arange(min(self.batch_size, len(self.ds)), dtype=np.int64)
+        raw = self.native.read_batch(idxs,
+                                     decode_images=not self.raw_images)
+        return self._format_batch(raw)
 
 
 class PrefetchLoader:
@@ -180,27 +177,44 @@ class PrefetchLoader:
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         sentinel = object()
+        stop = threading.Event()
         err: list = []
+
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for item in self.loader:
-                    q.put(item)
+                    if not put(item):
+                        return  # consumer abandoned the iterator
             except Exception as e:  # propagate to consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
-        if err:
-            raise err[0]
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+            if err:
+                raise err[0]
+        finally:
+            # abandoning mid-epoch (early break, exception, GC) must not
+            # leave the producer blocked on the full queue forever
+            stop.set()
+            thread.join()
 
 
 def make_loader(shard_dir, batch_size: int, snippet_len: int = 5,

@@ -248,16 +248,18 @@ class DatasetLoader:
     def steps_per_epoch(self) -> int:
         return len(self.ds) // (self.batch_size * self.process_count)
 
-    def _to_features(self, examples: list[dict]) -> dict:
-        batch = {k: np.stack([ex[k] for ex in examples])
-                 for k in examples[0].keys()}
+    def _format_batch(self, batch: dict) -> dict:
+        """Stacked per-key arrays -> feature views (the ONE place that
+        shapes batches; the native loader shares it). Images may arrive
+        uint8 (raw mode / storage) or already-decoded float32 (the C++
+        reader's decode)."""
         feats = {}
         for key, val in batch.items():
             if key.startswith("image"):
                 sfx = key[5:]  # "", "_R"
                 # same formula as the native (C++) and on-device decodes:
                 # u * (2/255) - 1 -- bit-identical across all three paths
-                img = val if self.raw_images \
+                img = val if (self.raw_images or val.dtype != np.uint8) \
                     else val.astype(np.float32) * (2.0 / 255.0) - 1.0
                 b, sh, w, c = img.shape
                 s = self.snippet_len
@@ -267,6 +269,18 @@ class DatasetLoader:
             else:
                 feats[key] = val
         return feats
+
+    def _to_features(self, examples: list[dict]) -> dict:
+        return self._format_batch({k: np.stack([ex[k] for ex in examples])
+                                   for k in examples[0].keys()})
+
+    def example_batch(self) -> dict:
+        """One deterministic batch (dataset indices 0..B-1) for model
+        init / logger recon samples: no epoch is consumed and no shuffle
+        order advanced (iterating instead would silently skip the first
+        epoch's order and, under PrefetchLoader, leak its producer)."""
+        idxs = range(min(self.batch_size, len(self.ds)))
+        return self._to_features([self.ds.read_example(i) for i in idxs])
 
     def _epoch_order(self) -> np.ndarray:
         """Shuffled per-epoch order, sliced to this process's share."""

@@ -27,25 +27,38 @@ import numpy as np
 from xpt_mde_tpu.utils.util_class import WrongInputError
 
 
+def _write_atomic(path: Path, data: bytes) -> None:
+    """tmp + rename so a crash mid-save never leaves a truncated
+    checkpoint that restore would half-load (same discipline as the
+    shard writer's atomic drive dirs)."""
+    import os
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(data)
+    os.replace(tmp, path)
+
+
 class CheckpointManager:
     def __init__(self, ckpt_dir):
         self.ckpt_dir = Path(ckpt_dir)
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)
 
-    def save(self, state, suffix: str = "latest"):
-        """Per-net params + batch stats + the full train state."""
+    def save(self, state, suffix: str = "latest", stage_idx: int = -1):
+        """Per-net params + batch stats + the full train state (tagged
+        with the plan stage it belongs to, so full-state resume never
+        leaks one stage's optimizer moments into the next)."""
         for net, params in state.params.items():
             data = flax.serialization.to_bytes(params)
-            (self.ckpt_dir / f"{net}_{suffix}.msgpack").write_bytes(data)
+            _write_atomic(self.ckpt_dir / f"{net}_{suffix}.msgpack", data)
         if state.batch_stats is not None:
             data = flax.serialization.to_bytes(state.batch_stats)
-            (self.ckpt_dir / f"batchstats_{suffix}.msgpack").write_bytes(data)
+            _write_atomic(self.ckpt_dir / f"batchstats_{suffix}.msgpack",
+                          data)
         full = {"params": state.params, "opt_state": state.opt_state,
-                "step": state.step}
+                "step": state.step, "stage": np.int32(stage_idx)}
         if state.batch_stats is not None:
             full["batch_stats"] = state.batch_stats
         data = flax.serialization.to_bytes(full)
-        (self.ckpt_dir / f"trainstate_{suffix}.msgpack").write_bytes(data)
+        _write_atomic(self.ckpt_dir / f"trainstate_{suffix}.msgpack", data)
 
     def restore_params(self, state, suffix: str = "latest"):
         """Load per-net params that exist on disk AND in the model; nets
@@ -76,14 +89,17 @@ class CheckpointManager:
                 print(f"[ckpt] FAILED to load batch stats: {e}")
         return state, loaded_any
 
-    def restore_full(self, state, suffix: str = "latest"):
-        """Exact resume (params + optimizer + step) when the tree matches;
-        returns None when unavailable or incompatible."""
+    def restore_full(self, state, suffix: str = "latest",
+                     stage_idx: int = -1):
+        """Exact resume (params + optimizer + step) when the tree matches
+        AND the checkpoint belongs to the same plan stage; returns None
+        otherwise (a new stage must start a fresh optimizer even when
+        its net set happens to match the previous stage's)."""
         path = self.ckpt_dir / f"trainstate_{suffix}.msgpack"
         if not path.is_file():
             return None
         target = {"params": state.params, "opt_state": state.opt_state,
-                  "step": state.step}
+                  "step": state.step, "stage": np.int32(-1)}
         if state.batch_stats is not None:
             target["batch_stats"] = state.batch_stats
         try:
@@ -91,6 +107,10 @@ class CheckpointManager:
         except Exception as e:
             print(f"[ckpt] full-state restore incompatible ({e}); "
                   "falling back to per-net weights")
+            return None
+        if int(np.asarray(restored.get("stage", -1))) != stage_idx:
+            print("[ckpt] full state belongs to another stage; "
+                  "loading per-net weights with a fresh optimizer")
             return None
         state = state.replace(params=restored["params"],
                               opt_state=restored["opt_state"],

@@ -29,7 +29,19 @@ class TrainingLogger:
                     for k, v in val_metrics.items()})
         hist_file = self.ckpt_dir / "history.csv"
         if hist_file.exists():
-            header = hist_file.read_text().splitlines()[0].split(",")
+            lines = hist_file.read_text().splitlines()
+            header = lines[0].split(",")
+            new_cols = [k for k in row if k not in header]
+            if new_cols:
+                # a later stage introduced metrics (e.g. flow losses, or
+                # the first stage with a val split): widen the csv so
+                # nothing is silently dropped
+                header += new_cols
+                pad = "," * len(new_cols)
+                body = [lines[0] + "," + ",".join(new_cols)]
+                body += [ln + pad for ln in lines[1:]]
+                hist_file.write_text("\n".join(body) + "\n")
+                self._write_column_guide(header)
             values = [str(row.get(h, "")) for h in header]
             with open(hist_file, "a") as fh:
                 fh.write(",".join(values) + "\n")
@@ -178,8 +190,12 @@ def _viridis(gray8: np.ndarray) -> np.ndarray:
 
 
 def flow_to_image(flow: np.ndarray) -> np.ndarray:
-    """Optical flow -> RGB in [-1, 1] (reference logger.py:243-253:
-    red/green encode horizontal flow sign, blue the vertical magnitude)."""
+    """Optical flow -> RGB (reference logger.py:243-253, formula-exact:
+    red/green encode horizontal flow sign, blue the vertical magnitude).
+    Values land in [0, 1] -- the upper half of the [-1, 1] display range
+    -- which matches the reference's rendering (its to_uint8_image also
+    maps [-1, 1] to 0..255, so flow panels are mid-gray-to-white there
+    too). Kept for parity; don't 'fix' the contrast here."""
     flow = np.clip(np.asarray(flow, np.float32), -10, 10) / 10
     height, width, _ = flow.shape
     image = np.ones((height, width, 3), dtype=np.float32)

@@ -58,6 +58,14 @@ def default_dataset_factory(cfg: Config):
     return factory
 
 
+def _example_batch(loader) -> dict:
+    """First batch for shape/init purposes, via the loader's side-effect
+    free path when it has one."""
+    if hasattr(loader, "example_batch"):
+        return loader.example_batch()
+    return next(iter(loader))
+
+
 class StageRuntime:
     """Everything needed to run one plan stage."""
 
@@ -113,9 +121,11 @@ class StageRuntime:
 
         from xpt_mde_tpu.training.train_step import decode_image_features
         # the kept example batch (model init + logger recon samples) is
-        # decoded once up front; per-step decode happens inside the steps
+        # decoded once up front; per-step decode happens inside the steps.
+        # example_batch() reads it WITHOUT consuming an epoch or leaking
+        # a prefetch producer (falls back for bare iterables)
         example = decode_image_features(
-            self._to_device(next(iter(self.train_loader))))
+            self._to_device(_example_batch(self.train_loader)))
         self.example = example
         self.state = create_train_state(self.model, example, self.tx)
 
@@ -170,6 +180,10 @@ class StageRuntime:
                     print_progress(f"  train {step_idx}/{steps} "
                                    f"loss={loss:.4f}")
         print("")
+        if count == 0:
+            raise ValueError(
+                "train loader yielded no batches -- dataset smaller than "
+                f"the batch size? (steps_per_epoch={steps})")
         means = {k: float(v) / count for k, v in metric_sums.items()}
         means["sec_per_epoch"] = dt.duration
         return means
@@ -219,8 +233,9 @@ def train_stage(cfg: Config, stage: TrainStage, stage_idx: int,
     ckpt = CheckpointManager(ckpt_dir)
     logger = TrainingLogger(ckpt_dir, cfg.log_loss)
 
-    # exact mid-stage resume if possible, else per-net weights
-    restored = ckpt.restore_full(runtime.state)
+    # exact mid-stage resume if possible, else per-net weights (a full
+    # state from ANOTHER stage is rejected -- fresh optimizer per stage)
+    restored = ckpt.restore_full(runtime.state, stage_idx=stage_idx)
     if restored is not None:
         runtime.state = restored
     else:
@@ -243,10 +258,14 @@ def train_stage(cfg: Config, stage: TrainStage, stage_idx: int,
               f" val_loss={val_metrics.get('loss', 0):.4f}"
               f" ({train_metrics.get('sec_per_epoch', 0):.1f}s)")
 
+        # checkpoint FIRST: history.csv drives resume, so the weights an
+        # epoch produced must be on disk before the log claims it is done
+        # (a crash in between re-trains the epoch instead of skipping it)
+        ckpt.save(runtime.state, "latest", stage_idx=stage_idx)
         logger.save_log(epoch, train_metrics, val_metrics)
         preds = runtime.predict_step(runtime.state, runtime.example)
         logger.save_scales(epoch, preds)
         logger.save_reconstruction_samples(epoch, runtime.example, preds)
-        ckpt.save(runtime.state, "latest")
     if stage.save_ckpt:
-        ckpt.save(runtime.state, f"ep{target_epoch:02d}")
+        ckpt.save(runtime.state, f"ep{target_epoch:02d}",
+                  stage_idx=stage_idx)
