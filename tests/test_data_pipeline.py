@@ -263,3 +263,21 @@ def test_multi_process_input_sharding(kitti_tree, tmp_path):
     # same epoch order, disjoint slices -> different examples
     assert not np.allclose(b0["image5d"], b1["image5d"])
     assert l0.steps_per_epoch == len(ds) // 4
+
+
+def test_synthetic_shard_maker(tmp_path):
+    """ShardMaker('synthetic', ...) builds real shards with zero raw
+    data via SyntheticReader (the advertised smoke/demo path)."""
+    from xpt_mde_tpu.config import Config
+    from xpt_mde_tpu.data.shard_maker import ShardMaker
+
+    cfg = Config(datapath=str(tmp_path),
+                 image_size_overrides={"synthetic": (32, 96)})
+    out = ShardMaker(cfg, "synthetic", "train", None).make()
+    ds = ShardDataset(out)
+    assert len(ds) > 0
+    ex = ds.read_example(0)
+    assert ex["image"].shape == (5 * 32, 96, 3)
+    assert ex["pose_gt"].shape == (4, 4, 4)
+    # exact plane GT survives the pipeline
+    assert np.allclose(ex["depth_gt"][ex["depth_gt"] > 0], 10.0, atol=0.5)

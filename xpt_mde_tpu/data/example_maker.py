@@ -77,6 +77,9 @@ class ExampleMaker:
         if "intrinsic_R" in self.data_keys:
             example["intrinsic_R"] = self.load_intrinsic(
                 frame_id, rawshape_hw, rszshape_hw, right=True)
+        if "depth_gt_R" in self.data_keys:
+            example["depth_gt_R"] = self.load_depth_map(
+                frame_id, rawshape_hw, rszshape_hw, right=True)
         if "pose_gt_R" in self.data_keys:
             example["pose_gt_R"] = self.load_snippet_poses(frame_seq_ids,
                                                            right=True)
@@ -136,7 +139,11 @@ class ExampleMaker:
         image_seq = example["image"]
         snippet = self.shwc_shape[0]
         height = image_seq.shape[0] // snippet
-        width = image_seq.shape[1]
+        # the threshold uses the DESTINATION width even when the resized
+        # image is wider (reference example_maker.py:137,143) -- using
+        # the resized width would reject borderline-moving snippets the
+        # reference keeps
+        width = self.shwc_shape[2]
         num_src = snippet - 1
         target = image_seq[num_src * height:]
         y_border = height // 3
@@ -253,4 +260,6 @@ class ExampleMaker:
                 raise RecoverableSkip("[verify_snippet] not moving")
             if np.max(distances) > 10.0:
                 raise RecoverableSkip("[verify_snippet] scene change")
-        return {k: v for k, v in example.items() if v is not None}
+        # no None filtering needed: every loader above raises
+        # RecoverableSkip on missing data (the reference returned Nones)
+        return example

@@ -19,6 +19,9 @@ def data_reader_factory(dataset_name: str, split: str,
     if dataset_name == "waymo":
         from xpt_mde_tpu.data.readers.waymo_reader import WaymoReader
         return WaymoReader(split, base_path)
+    if dataset_name == "synthetic":
+        from xpt_mde_tpu.data.synthetic import SyntheticReader
+        return SyntheticReader(split, base_path)
     if dataset_name == "driving_stereo":
         from xpt_mde_tpu.data.readers.driving_reader import DrivingStereoReader
         return DrivingStereoReader(split, base_path)

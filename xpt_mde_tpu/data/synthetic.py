@@ -123,3 +123,82 @@ class SyntheticDataset:
                 t_lr[:, 0, 3] = baseline  # right->left: x_L = x_R + b
                 feats["stereo_T_LR"] = t_lr
             yield feats
+
+
+class SyntheticReader:
+    """DataReaderBase twin of :class:`SyntheticDataset` for the
+    shard-making path: "drives" are procedurally rendered textured-plane
+    sequences with exact GT depth/poses/intrinsics, so
+    ``ShardMaker(cfg, "synthetic", split, None)`` builds real shards
+    with zero raw data -- the smoke/demo capability the reference lacks
+    entirely (SURVEY.md §4). ``base_path`` may be a dict overriding
+    height/width/num_frames/drives/step_m/depth_m."""
+
+    def __init__(self, split: str = "train", base_path=None):
+        from xpt_mde_tpu.data.readers.reader_base import DataReaderBase
+        self.split = split
+        self.base_path = base_path
+        opts = dict(base_path) if isinstance(base_path, dict) else {}
+        self.height = int(opts.get("height", 64))
+        self.width = int(opts.get("width", 128))
+        self.num_frames = int(opts.get("num_frames", 12))
+        self.n_drives = int(opts.get("drives", 2))
+        self.step_m = float(opts.get("step_m", 0.5))
+        self.depth_m = float(opts.get("depth_m", 10.0))
+        fx = self.width * 0.6
+        self.intrinsic = np.array(
+            [[fx, 0, self.width / 2], [0, fx, self.height / 2], [0, 0, 1]],
+            np.float32)
+        self.texture = None
+        self.frame_names: list = []
+
+    def list_drive_paths(self):
+        return [f"synthetic_{i:02d}" for i in range(self.n_drives)]
+
+    def init_drive(self, drive_path):
+        seed = int(str(drive_path).rsplit("_", 1)[-1])
+        self.texture = _texture(self.height, self.width,
+                                np.random.RandomState(seed))
+        self.frame_names = [f"{drive_path}/{i:04d}"
+                            for i in range(self.num_frames)]
+
+    def num_frames_(self):
+        return self.num_frames
+
+    def get_range_(self):
+        return range(2, self.num_frames - 2)
+
+    def _render(self, cam_x: float) -> np.ndarray:
+        fx = self.intrinsic[0, 0]
+        shift = fx * cam_x / self.depth_m
+        u = np.arange(self.width, dtype=np.float32)
+        out = np.empty_like(self.texture)
+        for c in range(3):
+            for v in range(self.height):
+                out[v, :, c] = np.interp(u + shift, u, self.texture[v, :, c])
+        return out
+
+    def get_image(self, index, right=False):
+        if right:
+            return None
+        img = self._render(index * self.step_m)
+        return ((np.clip(img, -1, 1) + 1) / 2 * 255).astype(np.uint8)
+
+    def get_pose(self, index, right=False):
+        pose = np.eye(4, dtype=np.float32)  # camera-to-world
+        pose[0, 3] = index * self.step_m
+        return pose
+
+    def get_point_cloud(self, index, right=False):
+        from xpt_mde_tpu.data.depth_map import depth_map_to_point_cloud
+        depth = np.full((self.height, self.width), self.depth_m, np.float32)
+        return depth_map_to_point_cloud(depth, self.intrinsic)
+
+    def get_intrinsic(self, index=0, right=False):
+        return self.intrinsic.copy()
+
+    def get_stereo_extrinsic(self, index=0):
+        return None
+
+    def index_to_id(self, index):
+        return index

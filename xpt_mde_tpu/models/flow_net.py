@@ -114,9 +114,11 @@ class PWCNet(nn.Module):
         sources = image5d[:, :-1].reshape(batch * numsrc, height, width,
                                           channels).astype(self.dtype)
 
-        encoder = PWCEncoder(dtype=self.dtype)
-        feats_l = encoder(target)
-        feats_r = encoder(sources)
+        # UNTIED target/source encoders -- reference parity: pwc_encode
+        # builds distinct "_l"/"_r" weight sets (flow_net.py:29-30,65-84).
+        # (Canonical PWC-Net shares the pyramid; the reference does not.)
+        feats_l = PWCEncoder(dtype=self.dtype, name="encoder_l")(target)
+        feats_r = PWCEncoder(dtype=self.dtype, name="encoder_r")(sources)
         # repeat target features for every source
         feats_l = [jnp.repeat(f, numsrc, axis=0) for f in feats_l]
         c2l, c3l, c4l, c5l, c6l = feats_l[1:]

@@ -82,7 +82,12 @@ class PoseNetDeep(nn.Module):
             return nn.max_pool(y, (2, 2), strides=(2, 2))
 
         x = Conv(32, 5, dtype=self.dtype)(x)
-        for chans in (32, 64, 64, 128, 256, 256):
+        # block 1 (vo_conv1_*) is two 3x3 convs with NO 1x1 bottleneck;
+        # blocks 2-6 are 3x3 -> 1x1(C/2) -> 3x3 (pose_net.py:103-130)
+        x = pool(x)
+        x = Conv(32, 3, dtype=self.dtype)(x)
+        x = Conv(32, 3, dtype=self.dtype)(x)
+        for chans in (64, 64, 128, 256, 256):
             x = pool(x)
             x = Conv(chans, 3, dtype=self.dtype)(x)
             x = Conv(chans // 2, 1, dtype=self.dtype)(x)
