@@ -86,3 +86,31 @@ def test_numpy_variants_match():
     assert np.allclose(mats, np.asarray(se3.twist_to_matrix(jnp.asarray(twists))))
     back = se3.matrix_to_twist_np(mats)
     assert np.allclose(back, twists, atol=1e-5)
+
+
+def test_matrix_to_twist_grad_finite_at_identity():
+    """arccos'(1) is infinite; the strict-interior clip must keep
+    gradients finite (zero) at identity and theta~pi rotations."""
+    import jax
+
+    def f(m):
+        return jnp.sum(se3.matrix_to_twist(m) ** 2)
+
+    g_ident = jax.grad(f)(jnp.eye(4))
+    assert np.all(np.isfinite(np.asarray(g_ident)))
+    # 180-degree rotation about z
+    m_pi = np.eye(4, dtype=np.float32)
+    m_pi[0, 0] = m_pi[1, 1] = -1.0
+    g_pi = jax.grad(f)(jnp.asarray(m_pi))
+    assert np.all(np.isfinite(np.asarray(g_pi)))
+
+
+def test_numpy_twins_match_jax_and_stay_on_host():
+    rng = np.random.RandomState(0)
+    twist = rng.uniform(-0.5, 0.5, (4, 6)).astype(np.float64)
+    mat_np = se3.twist_to_matrix_np(twist)
+    assert isinstance(mat_np, np.ndarray) and mat_np.dtype == np.float64
+    mat_jx = np.asarray(se3.twist_to_matrix(jnp.asarray(twist, jnp.float32)))
+    np.testing.assert_allclose(mat_np, mat_jx, atol=1e-6)
+    back = se3.matrix_to_twist_np(mat_np)
+    np.testing.assert_allclose(back, twist, atol=1e-6)

@@ -40,7 +40,8 @@ def valid_depth_filter(depth_pred: np.ndarray, depth_true: np.ndarray,
     crop_mask[crop[0]:crop[1], crop[2]:crop[3]] = 1
     mask = np.logical_and(mask, crop_mask)
     scaler = np.median(depth_true[mask]) / np.median(depth_pred[mask])
-    depth_pred = depth_pred.copy()
+    # np.array(...) above already copied: the in-place scale below can't
+    # touch the caller's array (the reference mutates its input)
     depth_pred[mask] *= scaler
     depth_pred = np.clip(depth_pred, min_depth, max_depth)
     if return_scale:

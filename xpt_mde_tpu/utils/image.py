@@ -20,22 +20,18 @@ def to_float_image(uint8_image: jnp.ndarray) -> jnp.ndarray:
     return uint8_image.astype(jnp.float32) / 255.0 * 2.0 - 1.0
 
 
-def to_uint8_image(float_image: jnp.ndarray) -> jnp.ndarray:
-    """float [-1,1] -> uint8 [0,255]."""
-    x = jnp.clip(float_image, -1.0, 1.0)
-    return jnp.round((x + 1.0) / 2.0 * 255.0).astype(jnp.uint8)
-
-
-def _axis_resize_matrix(dst: int, src: int, dtype=jnp.float32) -> jnp.ndarray:
-    """[dst, src] bilinear interpolation matrix with TF half-pixel-center
-    semantics and NO antialiasing: row o holds (1-frac) at floor and frac
-    at floor+1 (clipped)."""
+def _axis_resize_matrix(dst: int, src: int) -> jnp.ndarray:
+    """[dst, src] float32 bilinear interpolation matrix with TF
+    half-pixel-center semantics and NO antialiasing: row o holds
+    (1-frac) at floor and frac at floor+1 (clipped). Always float32 --
+    bf16 weights would quietly break the TF-exactness pin, and integer
+    image dtypes would truncate every fraction to zero."""
     v = (jnp.arange(dst, dtype=jnp.float32) + 0.5) * (src / dst) - 0.5
     i0 = jnp.floor(v)
-    frac = (v - i0).astype(dtype)
+    frac = v - i0
     lo = jnp.clip(i0, 0, src - 1).astype(jnp.int32)
     hi = jnp.clip(i0 + 1, 0, src - 1).astype(jnp.int32)
-    eye = jnp.eye(src, dtype=dtype)
+    eye = jnp.eye(src, dtype=jnp.float32)
     return (eye[lo] * (1.0 - frac)[:, None] + eye[hi] * frac[:, None])
 
 
@@ -59,18 +55,23 @@ def resize_image(image: jnp.ndarray, height: int, width: int,
     if method == "nearest":
         out_shape = image.shape[:-3] + (height, width, image.shape[-1])
         return jax.image.resize(image, out_shape, method="nearest")
-    dtype = image.dtype
-    my = _axis_resize_matrix(height, src_h, dtype)  # [h', H]
-    mx = _axis_resize_matrix(width, src_w, dtype)   # [w', W]
+    my = _axis_resize_matrix(height, src_h)  # [h', H], f32
+    mx = _axis_resize_matrix(width, src_w)   # [w', W], f32
     lead = image.shape[:-3]
     chans = image.shape[-1]
-    flat = image.reshape((-1, src_h, src_w, chans))
+    # interpolate in float32 regardless of image dtype (tf.image.resize
+    # computes in float and returns float for integer inputs); cast back
+    # only for float inputs so bf16 activations keep their dtype
+    flat = image.reshape((-1, src_h, src_w, chans)).astype(jnp.float32)
     # rows: [B, h', W, C] = my [h',H] x flat [B,H,W,C]
     rows = jnp.einsum("oY,bYXc->boXc", my, flat,
                       precision=jax.lax.Precision.HIGHEST)
     out = jnp.einsum("oX,byXc->byoc", mx, rows,
                      precision=jax.lax.Precision.HIGHEST)
-    return out.reshape(lead + (height, width, chans))
+    out = out.reshape(lead + (height, width, chans))
+    if jnp.issubdtype(image.dtype, jnp.floating):
+        out = out.astype(image.dtype)
+    return out
 
 
 def multi_scale_like(image: jnp.ndarray, pyramid: Sequence[jnp.ndarray],

@@ -81,7 +81,13 @@ def matrix_to_twist(matrix: jnp.ndarray) -> jnp.ndarray:
     """
     rot = matrix[..., :3, :3]
     trace = jnp.trace(rot, axis1=-2, axis2=-1)
-    cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
+    # clip strictly INSIDE (-1, 1): arccos has an infinite derivative at
+    # +-1 and `where` downstream cannot block the NaN cotangent (0*inf).
+    # Values are unaffected (near identity the axis vector is ~0, so
+    # rvec ~ axis/2 either way; clip zeroes the gradient at the boundary
+    # instead of NaN-ing it); theta=pi rotations are inherently
+    # degenerate in this parametrization either way.
+    cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos_theta)[..., None]  # [..., 1]
     axis = jnp.stack(
         [
@@ -122,10 +128,42 @@ def invert_matrix(matrix: jnp.ndarray) -> jnp.ndarray:
 
 
 def twist_to_matrix_np(twist: np.ndarray) -> np.ndarray:
-    """Numpy twin of :func:`twist_to_matrix` for host-side pipelines."""
-    return np.asarray(twist_to_matrix(jnp.asarray(twist, dtype=jnp.float32)))
+    """Numpy twin of :func:`twist_to_matrix`: genuinely host-side (no
+    device dispatch/compile from evaluation loops) and float64-capable."""
+    twist = np.asarray(twist)
+    dtype = twist.dtype if twist.dtype.kind == "f" else np.float64
+    trans = twist[..., :3].astype(dtype)
+    uvec = twist[..., 3:].astype(dtype)
+    theta = np.linalg.norm(uvec, axis=-1, keepdims=True)
+    safe = np.where(theta < _SMALL_ANGLE, 1.0, theta)
+    w1, w2, w3 = np.moveaxis(uvec / safe, -1, 0)
+    z = np.zeros_like(w1)
+    k = np.stack([np.stack([z, w3, -w2], -1),
+                  np.stack([-w3, z, w1], -1),
+                  np.stack([w2, -w1, z], -1)], -2)
+    th = theta[..., None]
+    eye = np.broadcast_to(np.eye(3, dtype=dtype), k.shape)
+    rot = eye + k * np.sin(th) + (k @ k) * (1.0 - np.cos(th))
+    rot = np.where(th < _SMALL_ANGLE, eye, rot)
+    out = np.zeros(twist.shape[:-1] + (4, 4), dtype)
+    out[..., :3, :3] = rot
+    out[..., :3, 3] = trans
+    out[..., 3, 3] = 1.0
+    return out
 
 
 def matrix_to_twist_np(matrix: np.ndarray) -> np.ndarray:
-    """Numpy twin of :func:`matrix_to_twist` for host-side pipelines."""
-    return np.asarray(matrix_to_twist(jnp.asarray(matrix, dtype=jnp.float32)))
+    """Numpy twin of :func:`matrix_to_twist` (same conventions)."""
+    matrix = np.asarray(matrix)
+    dtype = matrix.dtype if matrix.dtype.kind == "f" else np.float64
+    rot = matrix[..., :3, :3].astype(dtype)
+    trace = np.trace(rot, axis1=-2, axis2=-1)
+    cos_theta = np.clip((trace - 1.0) / 2.0, -1.0, 1.0)
+    theta = np.arccos(cos_theta)[..., None]
+    axis = np.stack([rot[..., 1, 2] - rot[..., 2, 1],
+                     rot[..., 2, 0] - rot[..., 0, 2],
+                     rot[..., 0, 1] - rot[..., 1, 0]], -1)
+    small = np.abs(theta) < _SMALL_THETA
+    sin_theta = np.where(small, 1.0, np.sin(theta))
+    rvec = np.where(small, axis / 2.0, axis / (2.0 * sin_theta) * theta)
+    return np.concatenate([matrix[..., :3, 3].astype(dtype), rvec], -1)
