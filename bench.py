@@ -42,31 +42,44 @@ SHORT_STEPS = 3
 MEASURE_STEPS = 20
 
 
-def main():
+def build_stage(stage=STAGE, batch=BATCH, height=HEIGHT, width=WIDTH):
+    """Build (model, total_loss, features, step_kwargs) for a bench stage.
+
+    ``step_kwargs`` go straight into ``make_train_step`` (frozen nets,
+    flow regularizer). Shared by bench.py and benchmarks/profile_step.py
+    so the profiled program is exactly the benchmarked one.
+    """
     from xpt_mde_tpu import config as cfg
     from xpt_mde_tpu.losses import loss_factory
     from xpt_mde_tpu.models import ModelFactory
-    from xpt_mde_tpu.training import (create_train_state, make_train_step,
-                                      optimizer_factory)
 
     rng = np.random.RandomState(0)
     features = {
         "image5d": jnp.asarray(
-            rng.rand(BATCH, 5, HEIGHT, WIDTH, 3).astype(np.float32) * 2 - 1),
+            rng.rand(batch, 5, height, width, 3).astype(np.float32) * 2 - 1),
         "intrinsic": jnp.asarray(np.tile(np.array(
-            [[358.0, 0, WIDTH / 2], [0, 370.0, HEIGHT / 2], [0, 0, 1]],
-            np.float32), (BATCH, 1, 1))),
+            [[358.0, 0, width / 2], [0, 370.0, height / 2], [0, 0, 1]],
+            np.float32), (batch, 1, 1))),
     }
 
     nets = {"depth": "EfficientNetB5", "camera": "PoseNetImproved"}
     recipe = {"L1": 0.5, "SSIM": 0.5, "smoothe": 20.0}
-    frozen = []
-    stereo = STAGE == "stereo"
+    step_kwargs = {}
+    stereo = stage == "stereo"
     keys = ["image", "intrinsic"]
-    if STAGE == "joint":
+    if stage == "joint":
         nets["flow"] = "PWCNet"
         recipe = {"cmbL1": 5.0, "cmbSSIM": 0.5, "smoothe": 20.0}
-        frozen = ["flownet"]  # joint stages freeze the flownet
+        # joint stages freeze the flownet (model_main.py:88-90); the
+        # step prunes its backward pass entirely
+        step_kwargs["frozen_nets"] = ["flownet"]
+    elif stage == "flow":
+        # the flow pre-training stage: PWC-Net alone under flowL2 +
+        # weight regularization (config-example.py:110-113)
+        nets = {"flow": "PWCNet"}
+        recipe = dict(cfg.LOSS_FLOW)
+        recipe.pop("flowL2_R", None)  # mono bench: no _R views
+        step_kwargs["regularize_net"] = "flownet"
     elif stereo:
         # the reference's MS recipe (LOSS_RIGID_T2-style + stereo terms)
         recipe = {"L1": 0.5, "SSIM": 0.5, "smoothe": 20.0,
@@ -74,21 +87,30 @@ def main():
                   "stereoL1": 0.01, "stereoPose": 1.0}
         keys += ["image_R", "intrinsic_R", "stereo_T_LR"]
         features["image5d_R"] = jnp.asarray(
-            rng.rand(BATCH, 5, HEIGHT, WIDTH, 3).astype(np.float32) * 2 - 1)
+            rng.rand(batch, 5, height, width, 3).astype(np.float32) * 2 - 1)
         features["intrinsic_R"] = features["intrinsic"]
         t_lr = np.eye(4, dtype=np.float32)
         t_lr[0, 3] = -0.54  # KITTI-ish baseline
         features["stereo_T_LR"] = jnp.asarray(
-            np.tile(t_lr, (BATCH, 1, 1)))
+            np.tile(t_lr, (batch, 1, 1)))
 
     factory = ModelFactory(keys, nets,
-                           stereo=stereo, high_res=(HEIGHT > 128),
+                           stereo=stereo, high_res=(height > 128),
                            compute_dtype="bfloat16")
     model = factory.get_model()
     total_loss = loss_factory(keys, recipe,
                               cfg.SCALE_WEIGHT_T1, stereo=stereo,
-                              batch_size=BATCH)
-    tx = optimizer_factory("adam_constant", 1e-4, frozen_nets=frozen)
+                              batch_size=batch)
+    return model, total_loss, features, step_kwargs
+
+
+def main():
+    from xpt_mde_tpu.training import (create_train_state, make_train_step,
+                                      optimizer_factory)
+
+    model, total_loss, features, step_kwargs = build_stage()
+    tx = optimizer_factory("adam_constant", 1e-4,
+                           frozen_nets=step_kwargs.get("frozen_nets", ()))
     state = create_train_state(model, features, tx)
 
     if STAGE == "predict":
@@ -117,7 +139,7 @@ def main():
         }))
         return
 
-    step = make_train_step(model, total_loss)
+    step = make_train_step(model, total_loss, **step_kwargs)
 
     # steps serialize through the donated train state; a host fetch of the
     # final loss is the only reliable sync on the axon remote platform

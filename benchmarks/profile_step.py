@@ -21,54 +21,66 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def top_ops(trace_dir: str, top: int = 25):
+def top_ops(trace_dir: str, top: int = 25, steps: int = 3):
+    """Aggregate DEVICE-track leaf ops (those carrying an hlo_category)
+    by category, source file:line, and op name; ms are per step."""
     files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
     if not files:
         print("no trace json found")
         return
     data = json.loads(gzip.open(sorted(files)[-1]).read())
+    device_pids = {
+        e["pid"] for e in data.get("traceEvents", [])
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "device:" in e.get("args", {}).get("name", "")
+        and "CPU" not in e["args"]["name"]}
     durs: collections.Counter = collections.Counter()
     counts: collections.Counter = collections.Counter()
+    cats: collections.Counter = collections.Counter()
+    srcs: collections.Counter = collections.Counter()
+    total = 0.0
     for e in data.get("traceEvents", []):
-        if e.get("ph") == "X" and "dur" in e:
-            name = e.get("name", "?")
-            durs[name] += e["dur"]
-            counts[name] += 1
-    print(f"{'total ms':>10}  {'count':>5}  op")
+        if (e.get("ph") != "X" or "dur" not in e
+                or e.get("pid") not in device_pids):
+            continue
+        args = e.get("args", {})
+        if "hlo_category" not in args:
+            continue  # module/step parent spans double-count their children
+        name = e.get("name", "?")
+        durs[name] += e["dur"]
+        counts[name] += 1
+        cats[args["hlo_category"]] += e["dur"]
+        srcs[args.get("source_info") or args.get("source") or "?"] += e["dur"]
+        total += e["dur"]
+    scale = 1e3 * steps
+    print(f"device total: {total / scale:.2f} ms/step (over {steps} steps)")
+    print("\n--- by hlo_category (ms/step) ---")
+    for k, v in cats.most_common(15):
+        print(f"{v / scale:8.2f}  {k}")
+    print("\n--- by source (ms/step) ---")
+    for k, v in srcs.most_common(20):
+        print(f"{v / scale:8.2f}  {k}")
+    print(f"\n--- top ops (ms/step) ---")
     for name, d in durs.most_common(top):
-        print(f"{d / 1e3:10.2f}  {counts[name]:5}  {name[:100]}")
+        print(f"{d / scale:8.2f}  x{counts[name] // steps:<4d} {name[:100]}")
 
 
 def main(trace_dir: str = "/tmp/xprof_step_trace"):
-    from xpt_mde_tpu import config as cfg
-    from xpt_mde_tpu.losses import loss_factory
-    from xpt_mde_tpu.models import ModelFactory
     from xpt_mde_tpu.training import (create_train_state, make_train_step,
                                       optimizer_factory)
 
     import os
-    batch = int(os.environ.get("BENCH_BATCH", 8))
-    height = int(os.environ.get("BENCH_HEIGHT", 128))
-    width = int(os.environ.get("BENCH_WIDTH", 512))
-    rng = np.random.RandomState(0)
-    features = {
-        "image5d": jnp.asarray(
-            rng.rand(batch, 5, height, width, 3).astype(np.float32) * 2 - 1),
-        "intrinsic": jnp.asarray(np.tile(np.array(
-            [[358.0, 0, width / 2], [0, 370.0, height / 2], [0, 0, 1]],
-            np.float32), (batch, 1, 1))),
-    }
-    model = ModelFactory(["image", "intrinsic"],
-                         {"depth": "EfficientNetB5",
-                          "camera": "PoseNetImproved"},
-                         stereo=False, compute_dtype="bfloat16").get_model()
-    total_loss = loss_factory(["image", "intrinsic"],
-                              {"L1": 0.5, "SSIM": 0.5, "smoothe": 20.0},
-                              cfg.SCALE_WEIGHT_T1, stereo=False,
-                              batch_size=batch)
-    state = create_train_state(model, features,
-                               optimizer_factory("adam_constant", 1e-4))
-    step = make_train_step(model, total_loss)
+    import bench  # repo-root bench.py: the stage being profiled IS the
+    #               benchmarked program (BENCH_STAGE/BATCH/HEIGHT/WIDTH)
+    model, total_loss, features, step_kwargs = bench.build_stage()
+    print(f"profiling stage={os.environ.get('BENCH_STAGE', 'rigid')} "
+          f"batch={features['image5d'].shape[0]} "
+          f"hw={features['image5d'].shape[2:4]}")
+    state = create_train_state(
+        model, features,
+        optimizer_factory("adam_constant", 1e-4,
+                          frozen_nets=step_kwargs.get("frozen_nets", ())))
+    step = make_train_step(model, total_loss, **step_kwargs)
 
     key = jax.random.PRNGKey(0)
     for _ in range(2):

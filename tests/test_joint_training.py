@@ -54,6 +54,30 @@ def test_joint_step_with_combined_loss_and_frozen_flownet(joint_parts):
     assert all(jax.tree_util.tree_leaves(same))
 
 
+def test_frozen_net_backward_pruning_is_exact(joint_parts):
+    """``frozen_nets`` stop-grad pruning must produce bit-identical
+    updates to the mask-only step (TF's tape.gradient never builds the
+    frozen flownet's backward graph, model_main.py:88-90; we prune the
+    same way and the optimizer mask guarantees equivalence)."""
+    data, model, batch = joint_parts
+    recipe = {"cmbL1": 5.0, "cmbSSIM": 0.5, "smoothe": 20.0}
+    total_loss = loss_factory(data.config_keys(), recipe, cfg.SCALE_WEIGHT_T1,
+                              stereo=False)
+    tx = optimizer_factory("adam_constant", 1e-4, frozen_nets=["flownet"])
+    state_a = create_train_state(model, batch, tx)
+    state_b = create_train_state(model, batch, tx)
+    step_masked = make_train_step(model, total_loss)
+    step_pruned = make_train_step(model, total_loss, frozen_nets=["flownet"])
+    state_a, metrics_a = step_masked(state_a, batch, jax.random.PRNGKey(3))
+    state_b, metrics_b = step_pruned(state_b, batch, jax.random.PRNGKey(3))
+    assert float(metrics_a["loss"]) == pytest.approx(
+        float(metrics_b["loss"]), rel=1e-6)
+    same = jax.tree_util.tree_map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        state_a.params, state_b.params)
+    assert all(jax.tree_util.tree_leaves(same))
+
+
 def test_flow_only_stage_with_regularizer(joint_parts):
     """LOSS_FLOW stage: flowL2 + flow_reg over flownet weights
     (config-example.py:110-113)."""

@@ -76,7 +76,8 @@ def replicate_state(state, mesh: Mesh):
 
 def make_parallel_train_step(model, total_loss, mesh: Mesh,
                              augmenter=None,
-                             regularize_net: Optional[str] = None) -> Callable:
+                             regularize_net: Optional[str] = None,
+                             frozen_nets=()) -> Callable:
     """Jit the train step over the mesh: batch sharded on ``data``,
     state replicated; XLA inserts psum for the grads over ICI.
 
@@ -89,7 +90,8 @@ def make_parallel_train_step(model, total_loss, mesh: Mesh,
     # the SAME step function as the single-device path (no duplicated
     # body to drift); only the jit shardings differ
     step_body = make_train_step(model, total_loss, augmenter=augmenter,
-                                regularize_net=regularize_net, jit=False)
+                                regularize_net=regularize_net, jit=False,
+                                frozen_nets=frozen_nets)
     repl = _replicated(mesh)
     # features keep the shardings shard_batch committed them with (data
     # axis always; + height over "spatial" on a 2-D mesh)

@@ -15,7 +15,7 @@ re-designed TPU-first:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Mapping, Optional
+from typing import Any, Callable, Mapping, Optional, Sequence
 
 import flax
 import jax
@@ -92,7 +92,8 @@ def _compute_metrics(preds, features, loss, loss_by_type):
 
 def make_train_step(model, total_loss, augmenter=None,
                     regularize_net: Optional[str] = None,
-                    jit: bool = True) -> Callable:
+                    jit: bool = True,
+                    frozen_nets: Sequence[str] = ()) -> Callable:
     """Build the train step (jitted unless ``jit=False`` -- the
     reference's "eager" TRAIN_MODE for step-through debugging,
     config-example.py:255 / train_val.py:12).
@@ -101,7 +102,19 @@ def make_train_step(model, total_loss, augmenter=None,
     :param total_loss: TotalLoss callable (preds, features) -> (loss, dict)
     :param augmenter: optional TotalAugment applied on device pre-forward
     :param regularize_net: net whose params feed the flow_reg L2 loss
+    :param frozen_nets: top-level param groups whose backward pass is
+        pruned via stop_gradient. The reference freezes the flownet in
+        joint stages with Keras ``trainable=False`` (model_main.py:88-90),
+        and TF's ``tape.gradient(loss, trainable_weights)`` never BUILDS
+        the frozen net's backward graph. Here the pruning is explicit
+        rather than load-bearing: the optimizer's ``set_to_zero`` mask
+        already lets XLA dead-code the frozen backward (measured A/B on
+        the joint stage: 53.1 vs 52.9 ms/step, benchmarks/
+        probe_frozen_prune.py), so this guarantees the pruning at the
+        graph level instead of relying on the compiler, with
+        bit-identical updates either way.
     """
+    frozen = set(frozen_nets) - {regularize_net}
 
     def train_step(state: TrainState, features: Mapping[str, Any], rng):
         features = decode_image_features(features)
@@ -110,6 +123,9 @@ def make_train_step(model, total_loss, augmenter=None,
             features = augmenter(dict(features), aug_rng)
 
         def loss_fn(params):
+            if frozen:
+                params = {k: (jax.lax.stop_gradient(v) if k in frozen else v)
+                          for k, v in params.items()}
             preds, new_batch_stats = _forward(model, state, params, features,
                                               train=True)
             if regularize_net is not None and regularize_net in params:
