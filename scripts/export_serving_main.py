@@ -44,8 +44,8 @@ def main():
                              compute_dtype=cfg.compute_dtype).get_model()
         # init on decoded floats; export with the RAW batch so the
         # artifact takes uint8 and decodes on device (export.py)
-        from xpt_mde_tpu.training.trainer import _example_batch
-        batch = {k: jnp.asarray(v) for k, v in _example_batch(loader).items()}
+        from xpt_mde_tpu.data import example_batch
+        batch = {k: jnp.asarray(v) for k, v in example_batch(loader).items()}
         state = create_train_state(model, decode_image_features(batch),
                                    optimizer_factory(cfg.optimizer, 1e-4))
         ckpt = CheckpointManager(Path(cfg.datapath_ckp) / stage.ckpt_name)

@@ -133,3 +133,57 @@ def test_full_state_resume_is_stage_scoped(tmp_path):
     # per-net weights still load for the stage handoff
     _, loaded = ckpt.restore_params(fresh)
     assert loaded
+
+
+def test_full_state_resume_migrates_pre_stage_checkpoints(tmp_path):
+    """trainstate checkpoints written before the stage-scoping change
+    carry no 'stage' key; restore_full must still exact-resume them
+    (assumed same-stage) instead of silently dropping to per-net weights
+    with a fresh optimizer."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xpt_mde_tpu.models import ModelFactory
+    from xpt_mde_tpu.training import create_train_state, optimizer_factory
+    from xpt_mde_tpu.training.checkpoint import CheckpointManager
+
+    model = ModelFactory(["image", "intrinsic"],
+                         {"depth": "DepthNetBasic", "camera": "PoseNetBasic"},
+                         stereo=False).get_model()
+    feats = {"image5d": jnp.zeros((1, 5, 32, 64, 3)),
+             "intrinsic": jnp.eye(3)[None]}
+    tx = optimizer_factory("adam_constant", 1e-4)
+    state = create_train_state(model, feats, tx).replace(step=7)
+
+    # write a v0 (pre-stage-scoping) trainstate by hand: no "stage" key
+    full = {"params": state.params, "opt_state": state.opt_state,
+            "step": state.step}
+    if state.batch_stats is not None:
+        full["batch_stats"] = state.batch_stats
+    ckpt_dir = tmp_path
+    (ckpt_dir / "trainstate_latest.msgpack").write_bytes(
+        flax.serialization.to_bytes(full))
+
+    fresh = create_train_state(model, feats, tx)
+    restored = CheckpointManager(ckpt_dir).restore_full(fresh, stage_idx=2)
+    assert restored is not None
+    assert int(restored.step) == 7
+    leaves_a = jax.tree_util.tree_leaves(state.params)
+    leaves_b = jax.tree_util.tree_leaves(restored.params)
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(leaves_a, leaves_b))
+
+
+def test_save_log_survives_empty_history_csv(tmp_path):
+    """A crash can leave history.csv present but empty; the next epoch's
+    save_log must rewrite it as a fresh file, not IndexError."""
+    from xpt_mde_tpu.training.logger import TrainingLogger
+
+    (tmp_path / "history.csv").write_text("")
+    logger = TrainingLogger(tmp_path)
+    logger.save_log(0, {"loss": 1.0}, {"loss": 2.0})
+    lines = (tmp_path / "history.csv").read_text().strip().splitlines()
+    assert lines[0].startswith("epoch")
+    assert len(lines) == 2

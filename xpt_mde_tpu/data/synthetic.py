@@ -31,6 +31,21 @@ def _texture(height: int, width: int, rng: np.random.RandomState) -> np.ndarray:
     return np.clip(rgb, -1, 1).astype(np.float32)
 
 
+def _render_plane(texture: np.ndarray, fx: float, cam_x: float,
+                  depth_m: float) -> np.ndarray:
+    """Render the fronto-parallel plane seen from camera x-offset
+    ``cam_x`` (meters): pure horizontal shift by fx * cam_x / depth
+    pixels, sampled exactly through np.interp per row."""
+    shift = fx * cam_x / depth_m
+    height, width = texture.shape[:2]
+    u = np.arange(width, dtype=np.float32)
+    out = np.empty_like(texture)
+    for c in range(texture.shape[-1]):
+        for v in range(height):
+            out[v, :, c] = np.interp(u + shift, u, texture[v, :, c])
+    return out
+
+
 class SyntheticDataset:
     """Iterable of feature-dict batches with exact geometry."""
 
@@ -61,17 +76,8 @@ class SyntheticDataset:
         return keys
 
     def _render(self, texture: np.ndarray, cam_x: float) -> np.ndarray:
-        """Render the plane seen from camera x-offset ``cam_x`` (meters):
-        pure horizontal shift by fx * cam_x / z pixels (sampled exactly
-        through np.interp per row)."""
-        fx = self.intrinsic[0, 0]
-        shift = fx * cam_x / self.depth_m
-        u = np.arange(self.width, dtype=np.float32)
-        out = np.empty_like(texture)
-        for c in range(texture.shape[-1]):
-            for v in range(self.height):
-                out[v, :, c] = np.interp(u + shift, u, texture[v, :, c])
-        return out
+        return _render_plane(texture, self.intrinsic[0, 0], cam_x,
+                             self.depth_m)
 
     def _make_example(self, rng: np.random.RandomState):
         s = self.snippet_len
@@ -169,14 +175,8 @@ class SyntheticReader:
         return range(2, self.num_frames - 2)
 
     def _render(self, cam_x: float) -> np.ndarray:
-        fx = self.intrinsic[0, 0]
-        shift = fx * cam_x / self.depth_m
-        u = np.arange(self.width, dtype=np.float32)
-        out = np.empty_like(self.texture)
-        for c in range(3):
-            for v in range(self.height):
-                out[v, :, c] = np.interp(u + shift, u, self.texture[v, :, c])
-        return out
+        return _render_plane(self.texture, self.intrinsic[0, 0], cam_x,
+                             self.depth_m)
 
     def get_image(self, index, right=False):
         if right:

@@ -197,9 +197,9 @@ def debug_by_plan(cfg, dataset_factory=None) -> None:
         model = ModelFactory(keys, stage.net_names, cfg.depth_activation,
                              stereo=cfg.stereo, high_res=cfg.high_res,
                              compute_dtype=cfg.compute_dtype).get_model()
-        from xpt_mde_tpu.training.trainer import _example_batch
+        from xpt_mde_tpu.data import example_batch
         batch = decode_image_features(
-            {k: jnp.asarray(v) for k, v in _example_batch(loader).items()})
+            {k: jnp.asarray(v) for k, v in example_batch(loader).items()})
         state = create_train_state(model, batch,
                                    optimizer_factory(cfg.optimizer, 1e-4))
         ckpt = CheckpointManager(Path(cfg.datapath_ckp) / stage.ckpt_name)

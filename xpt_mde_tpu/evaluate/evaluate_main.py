@@ -158,9 +158,9 @@ def predict_by_plan(cfg: Config, dataset_factory=None) -> None:
                              stereo=cfg.stereo, high_res=cfg.high_res,
                              compute_dtype=cfg.compute_dtype).get_model()
         from xpt_mde_tpu.training.train_step import decode_image_features
-        from xpt_mde_tpu.training.trainer import _example_batch
+        from xpt_mde_tpu.data import example_batch
         batch = decode_image_features(
-            {k: jnp.asarray(v) for k, v in _example_batch(loader).items()})
+            {k: jnp.asarray(v) for k, v in example_batch(loader).items()})
         tx = optimizer_factory(cfg.optimizer, 1e-4)
         state = create_train_state(model, batch, tx)
         ckpt = CheckpointManager(Path(cfg.datapath_ckp) / stage.ckpt_name)

@@ -102,12 +102,24 @@ class CheckpointManager:
                   "step": state.step, "stage": np.int32(-1)}
         if state.batch_stats is not None:
             target["batch_stats"] = state.batch_stats
+        raw = path.read_bytes()
         try:
-            restored = flax.serialization.from_bytes(target, path.read_bytes())
+            restored = flax.serialization.from_bytes(target, raw)
         except Exception as e:
-            print(f"[ckpt] full-state restore incompatible ({e}); "
-                  "falling back to per-net weights")
-            return None
+            # checkpoints written before the stage-scoping change carry no
+            # "stage" key; retry without it and treat them as same-stage so
+            # in-flight runs keep their exact optimizer state on upgrade
+            try:
+                target_v0 = dict(target)
+                target_v0.pop("stage")
+                restored = flax.serialization.from_bytes(target_v0, raw)
+                restored["stage"] = stage_idx
+                print("[ckpt] restored pre-stage-scoping full state "
+                      "(assuming same stage)")
+            except Exception:
+                print(f"[ckpt] full-state restore incompatible ({e}); "
+                      "falling back to per-net weights")
+                return None
         if int(np.asarray(restored.get("stage", -1))) != stage_idx:
             print("[ckpt] full state belongs to another stage; "
                   "loading per-net weights with a fresh optimizer")

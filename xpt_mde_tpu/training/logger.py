@@ -28,7 +28,9 @@ class TrainingLogger:
         row.update({f"val_{k.replace('/', '_')}": float(v)
                     for k, v in val_metrics.items()})
         hist_file = self.ckpt_dir / "history.csv"
-        if hist_file.exists():
+        # a crash/full disk can leave the csv present but empty -- fall
+        # through to the fresh-file branch instead of IndexError-ing
+        if hist_file.exists() and hist_file.read_text().strip():
             lines = hist_file.read_text().splitlines()
             header = lines[0].split(",")
             new_cols = [k for k in row if k not in header]
@@ -174,7 +176,10 @@ def _reconstruction_views(features: dict, preds: dict) -> dict:
             and "stereo_T_LR" in features:
         target_r = jnp.asarray(np.asarray(features["image5d_R"])[:, -1])
         t_lr = jnp.asarray(np.asarray(features["stereo_T_LR"]))
-        pose_rl = se3.matrix_to_twist(se3.invert_matrix(t_lr))[:, None]
+        # synthesize_multi_scale takes 4x4 matrices directly (same form
+        # losses/total.py uses) -- no twist roundtrip through the
+        # theta~pi-degenerate parametrization
+        pose_rl = se3.invert_matrix(t_lr)[:, None]
         stereo_synth = np.asarray(synthesize_multi_scale(
             target_r[:, None], intrinsic, [depth0], pose_rl)[0])
         views["right_source"] = np.asarray(target_r)

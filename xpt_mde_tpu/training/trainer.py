@@ -58,12 +58,7 @@ def default_dataset_factory(cfg: Config):
     return factory
 
 
-def _example_batch(loader) -> dict:
-    """First batch for shape/init purposes, via the loader's side-effect
-    free path when it has one."""
-    if hasattr(loader, "example_batch"):
-        return loader.example_batch()
-    return next(iter(loader))
+from xpt_mde_tpu.data import example_batch as _example_batch
 
 
 class StageRuntime:
