@@ -32,11 +32,13 @@ BATCH = int(_os.environ.get("BENCH_BATCH", 8))
 HEIGHT = int(_os.environ.get("BENCH_HEIGHT", 128))
 WIDTH = int(_os.environ.get("BENCH_WIDTH", 512))
 # rigid (depth+pose, the headline) | joint (adds PWC-Net flow + cmb losses,
-# the TRAINING_PLAN_28 fine-tune stage) | stereo (the "MS" training the
-# published Table-4 numbers come from: _R views re-run + stereo depth +
-# stereo pose losses) | predict (inference/serving: forward only, the
-# predict_by_plan step)
+# the TRAINING_PLAN_28 fine-tune stage) | flow (PWC-Net pre-training alone
+# under LOSS_FLOW) | stereo (the "MS" training the published Table-4
+# numbers come from: _R views re-run + stereo depth + stereo pose losses)
+# | predict (inference/serving: forward only, the predict_by_plan step)
 STAGE = _os.environ.get("BENCH_STAGE", "rigid")
+# the flow stage carries no EfficientNet depth net -- name it honestly
+MODEL_TAG = "pwcnet" if STAGE == "flow" else "effb5"
 WARMUP_STEPS = 3
 SHORT_STEPS = 3
 MEASURE_STEPS = 20
@@ -166,7 +168,7 @@ def main():
 
     images_per_sec = BATCH * MEASURE_STEPS / max(t_long - t_short, 1e-9)
     print(json.dumps({
-        "metric": f"train_images_per_sec_per_chip_effb5_{STAGE}_"
+        "metric": f"train_images_per_sec_per_chip_{MODEL_TAG}_{STAGE}_"
                   f"{HEIGHT}x{WIDTH}",
         "value": round(images_per_sec, 2),
         "unit": "images/sec",

@@ -49,15 +49,23 @@ def test_pallas_correlation_grads_match_xla(md, stride):
 
 
 def test_vmem_overflow_falls_back_to_xla():
-    """High-res frames that would overflow VMEM use the XLA formulation."""
-    from xpt_mde_tpu.ops.pallas.correlation import _vmem_estimate_bytes
+    """Shapes that would overflow VMEM use the XLA formulation, gated
+    per direction: an oversized backward keeps the Pallas forward."""
+    from xpt_mde_tpu.ops.pallas.correlation import (
+        VMEM_LIMIT_BYTES, _vmem_bwd_estimate_bytes, _vmem_fwd_estimate_bytes)
 
-    # level-2 high-res shape from VERDICT weak #6: [1, 64, 256, 32], md=32
-    assert _vmem_estimate_bytes((1, 64, 256, 32), 32, 8, jnp.float32) \
-        > 12 * 1024 * 1024
-    # benchmarked level shape fits
-    assert _vmem_estimate_bytes((1, 32, 128, 32), 16, 4, jnp.float32) \
-        < 12 * 1024 * 1024
+    # level-2 high-res shape from VERDICT weak #6: [1, 64, 256, 32],
+    # md=32: the bf16 forward (the shipping compute dtype) fits, the
+    # backward falls to XLA
+    assert _vmem_fwd_estimate_bytes((1, 64, 256, 32), 32, 8, jnp.bfloat16) \
+        < VMEM_LIMIT_BYTES
+    assert _vmem_bwd_estimate_bytes((1, 64, 256, 32), 32, 8, jnp.float32) \
+        > VMEM_LIMIT_BYTES
+    # benchmarked level shape fits in both directions
+    assert _vmem_fwd_estimate_bytes((1, 32, 128, 32), 16, 4, jnp.float32) \
+        < VMEM_LIMIT_BYTES
+    assert _vmem_bwd_estimate_bytes((1, 32, 128, 32), 16, 4, jnp.float32) \
+        < VMEM_LIMIT_BYTES
 
 
 def test_grad_through_pwcnet_pallas():

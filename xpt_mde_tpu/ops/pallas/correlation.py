@@ -17,12 +17,14 @@ whose backward pass is two more correlation-like Pallas kernels —
 (the dcr form is computed by padding g and cl once in XLA and sliding the
 window the other way, so the kernel writes an unpadded [H, W, C] block).
 
-VMEM safety: the BlockSpecs keep whole padded frames per grid step, which
-is fine at the PWC pyramid levels benchmarked but can overflow the ~16 MB
-VMEM at high-res fine levels. ``correlation_cost_pallas`` therefore
-estimates the worst-case block residency and falls back to the XLA
-formulation (ops/correlation.correlation_cost, whose autodiff is native)
-when the estimate exceeds ``VMEM_LIMIT_BYTES``.
+VMEM safety: the forward keeps whole padded frames per grid step; the
+backward kernels grid over (batch, dy-row) with an f32 scratch accumulated
+across rows, bounding the live displacement windows to one row (a full
+81-displacement unroll measured 68.8 MB of Mosaic scoped stack at the
+level-2 PWC shape). Residency estimates gate each direction separately:
+an oversized forward falls back to the XLA formulation wholesale, an
+oversized backward alone falls back to the XLA formulation's native
+gradient while the forward stays on the kernel.
 
 The jnp twin (ops/correlation.correlation_cost) defines the semantics;
 tests assert bit-level equivalence (values and grads) in interpreter mode.
@@ -61,42 +63,62 @@ def _corr_kernel(cl_ref, cr_pad_ref, out_ref, *, offsets, height, width,
             k += 1
 
 
-def _corr_grad_cl_kernel(g_ref, cr_pad_ref, out_ref, *, offsets, height,
-                         width, channels):
-    """dcl[c] = 1/C * sum_k g[k] * shifted(cr)[c]; all channel-first."""
-    md = max(abs(o) for o in offsets) if offsets else 0
-    acc = jnp.zeros((channels, height, width), jnp.float32)
-    k = 0
-    for dy in offsets:
-        for dx in offsets:
-            win = cr_pad_ref[0, :, md + dy: md + dy + height,
-                             md + dx: md + dx + width]
-            acc += g_ref[0, k][None].astype(jnp.float32) \
-                * win.astype(jnp.float32)
-            k += 1
-    out_ref[0] = (acc / channels).astype(out_ref.dtype)
+def _corr_grad_cl_kernel(g_ref, cr_rows_ref, out_ref, acc_ref, *, offsets,
+                         height, width, channels):
+    """dcl[c] = 1/C * sum_k g[k] * shifted(cr)[c]; all channel-first.
 
-
-def _corr_grad_cr_kernel(g_pad_ref, cl_pad_ref, out_ref, *, offsets, height,
-                         width, channels):
-    """dcr[c,u,v] = 1/C * sum_k (g[k]*cl[c])[u-dy_k, v-dx_k].
-
-    g and cl arrive padded by md so every backward shift is a static
-    in-bounds slice (pad-of-product == product-of-pads). Channel-first.
+    Gridded over (batch, dy-row): a fully unrolled 81-displacement loop
+    keeps every windowed product live at once and blows Mosaic's scoped
+    VMEM stack (measured 68.8 MB at the level-2 PWC shape). One dy row
+    per grid step bounds the live set to n windows; the f32 scratch
+    accumulates across the arbitrary dy dimension. The dy shift arrives
+    pre-sliced from XLA (cr_rows block j = the dy_j row window), so the
+    kernel body only takes STATIC dx lane slices -- Mosaic cannot prove
+    alignment of dynamic sublane starts (and stride<8 levels genuinely
+    aren't aligned).
     """
     md = max(abs(o) for o in offsets) if offsets else 0
-    acc = jnp.zeros((channels, height, width), jnp.float32)
-    k = 0
-    for dy in offsets:
-        for dx in offsets:
-            gwin = g_pad_ref[0, k, md - dy: md - dy + height,
-                             md - dx: md - dx + width]
-            clwin = cl_pad_ref[0, :, md - dy: md - dy + height,
-                               md - dx: md - dx + width]
-            acc += gwin[None].astype(jnp.float32) \
-                * clwin.astype(jnp.float32)
-            k += 1
-    out_ref[0] = (acc / channels).astype(out_ref.dtype)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for i, dx in enumerate(offsets):
+        win = cr_rows_ref[0, 0, :, :, md + dx: md + dx + width]
+        acc_ref[...] += g_ref[0, i][None].astype(jnp.float32) \
+            * win.astype(jnp.float32)
+
+    @pl.when(j == len(offsets) - 1)
+    def _flush():
+        out_ref[0] = (acc_ref[...] / channels).astype(out_ref.dtype)
+
+
+def _corr_grad_cr_kernel(g_rows_ref, cl_rows_ref, out_ref, acc_ref, *,
+                         offsets, height, width, channels):
+    """dcr[c,u,v] = 1/C * sum_k (g[k]*cl[c])[u-dy_k, v-dx_k].
+
+    g and cl arrive as pre-sliced dy-row windows of their md-padded
+    frames (pad-of-product == product-of-pads), so every backward shift
+    is a static lane slice. Channel-first, gridded over (batch, dy-row)
+    with an f32 scratch accumulator -- see _corr_grad_cl_kernel for why.
+    """
+    md = max(abs(o) for o in offsets) if offsets else 0
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for i, dx in enumerate(offsets):
+        gwin = g_rows_ref[0, 0, i, :, md - dx: md - dx + width]
+        clwin = cl_rows_ref[0, 0, :, :, md - dx: md - dx + width]
+        acc_ref[...] += gwin[None].astype(jnp.float32) \
+            * clwin.astype(jnp.float32)
+
+    @pl.when(j == len(offsets) - 1)
+    def _flush():
+        out_ref[0] = (acc_ref[...] / channels).astype(out_ref.dtype)
 
 
 def _frame_specs(shapes):
@@ -140,38 +162,93 @@ def _corr_pallas_bwd(offsets, interpret, residuals, g):
     cl, cr = residuals
     batch, height, width, channels = cl.shape
     md = max(abs(o) for o in offsets) if offsets else 0
-    pad = ((0, 0), (0, 0), (md, md), (md, md))  # channel-first pad
+    n = len(offsets)
+    stride = offsets[1] - offsets[0] if n > 1 else 1
 
+    if not interpret and _vmem_bwd_estimate_bytes(
+            cl.shape, md, stride, cl.dtype) > VMEM_LIMIT_BYTES:
+        # per-row blocks still too big (high-res fine levels): take the
+        # XLA formulation's native gradient instead; the forward stays
+        # on the Pallas kernel
+        from xpt_mde_tpu.ops.correlation import correlation_cost
+        _, vjp = jax.vjp(
+            lambda a, b: correlation_cost(a, b, md, stride), cl, cr)
+        return vjp(g)
+
+    pad = ((0, 0), (0, 0), (md, md), (md, md))  # channel-first pad
     clf = jnp.transpose(cl, (0, 3, 1, 2))  # [B, C, H, W]
     crf = jnp.transpose(cr, (0, 3, 1, 2))
     gf = jnp.transpose(g, (0, 3, 1, 2))    # [B, n_out, H, W]
+    params = pltpu.CompilerParams(dimension_semantics=(
+        pltpu.GridDimensionSemantics.PARALLEL,
+        pltpu.GridDimensionSemantics.ARBITRARY))
+    scratch = [pltpu.VMEM((channels, height, width), jnp.float32)]
+
+    def rows(x_pad, starts):
+        # [B, D, Hp, Wp] -> [B, n, D, H, Wp]: the dy_j row window per j,
+        # sliced statically in XLA so the kernel never indexes sublanes
+        # dynamically
+        return jnp.stack([x_pad[:, :, s: s + height] for s in starts],
+                         axis=1)
 
     cl_kernel = functools.partial(_corr_grad_cl_kernel, offsets=offsets,
                                   height=height, width=width,
                                   channels=channels)
     cr_pad = jnp.pad(crf, pad)
+    # dcl sums g[k] * cr shifted by +offset: row j starts at md+offsets[j]
+    cr_rows = rows(cr_pad, [md + o for o in offsets])
+    wp = width + 2 * md
     dcl = pl.pallas_call(
         cl_kernel,
-        grid=(batch,),
-        in_specs=_frame_specs([gf.shape[1:], cr_pad.shape[1:]]),
-        out_specs=_frame_specs([clf.shape[1:]])[0],
+        grid=(batch, n),
+        in_specs=[
+            pl.BlockSpec((1, n, height, width),
+                         lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, channels, height, wp),
+                         lambda b, j: (b, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1,) + clf.shape[1:],
+                               lambda b, j: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(clf.shape, cl.dtype),
+        scratch_shapes=scratch,
+        compiler_params=params,
         interpret=interpret,
-    )(gf, cr_pad)
+    )(gf, cr_rows)
 
     cr_kernel = functools.partial(_corr_grad_cr_kernel, offsets=offsets,
                                   height=height, width=width,
                                   channels=channels)
-    g_pad = jnp.pad(gf, pad)
-    cl_pad = jnp.pad(clf, pad)
+    # dcr sums (g[k] * cl) shifted by -offset: row j starts at
+    # md-offsets[j]; g rows are grouped [j, i] = displacement j*n+i
+    bwd_starts = [md - o for o in offsets]
+    g_pad = jnp.pad(gf, pad)  # [B, n_out, Hp, Wp]
+    g_rows = jnp.stack(
+        [g_pad[:, j * n: (j + 1) * n,
+               bwd_starts[j]: bwd_starts[j] + height]
+         for j in range(n)], axis=1)  # [B, n, n, H, Wp]
+    cl_rows = rows(jnp.pad(clf, pad), bwd_starts)
     dcr = pl.pallas_call(
         cr_kernel,
-        grid=(batch,),
-        in_specs=_frame_specs([g_pad.shape[1:], cl_pad.shape[1:]]),
-        out_specs=_frame_specs([crf.shape[1:]])[0],
+        grid=(batch, n),
+        in_specs=[
+            pl.BlockSpec((1, 1, n, height, wp),
+                         lambda b, j: (b, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, channels, height, wp),
+                         lambda b, j: (b, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1,) + crf.shape[1:],
+                               lambda b, j: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(crf.shape, cr.dtype),
+        scratch_shapes=scratch,
+        compiler_params=params,
         interpret=interpret,
-    )(g_pad, cl_pad)
+    )(g_rows, cl_rows)
     return (jnp.transpose(dcl, (0, 2, 3, 1)),
             jnp.transpose(dcr, (0, 2, 3, 1)))
 
@@ -179,25 +256,40 @@ def _corr_pallas_bwd(offsets, interpret, residuals, g):
 _corr_pallas.defvjp(_corr_pallas_fwd, _corr_pallas_bwd)
 
 
-def _vmem_estimate_bytes(shape, max_displacement, stride, dtype) -> int:
-    """Worst-case per-grid-step VMEM residency across fwd + bwd kernels."""
+def _vmem_fwd_estimate_bytes(shape, max_displacement, stride, dtype) -> int:
+    """Per-grid-step VMEM residency of the forward kernel."""
     _, height, width, channels = shape
     md = max_displacement
     n_out = len(range(-md, md + 1, stride)) ** 2
     itemsize = jnp.dtype(dtype).itemsize
     frame = height * width
     padded = (height + 2 * md) * (width + 2 * md)
-    # every kernel also keeps a full-frame f32 working set: fwd upcasts
-    # cl once ([C,H,W] f32), both backward kernels hold a [C,H,W] f32
-    # accumulator live across the unrolled displacement loop
+    # the kernel upcasts cl once ([C,H,W] f32); per-displacement windows
+    # are written straight to independent out planes, so Mosaic reuses
+    # their registers (measured: compiles at every PWC level in use)
     f32_cl = frame * channels * 4
-    fwd = (frame * channels + padded * channels + frame * n_out) * itemsize \
+    return (frame * channels + padded * channels + frame * n_out) * itemsize \
         + f32_cl
-    bwd_cl = (frame * n_out + padded * channels + frame * channels) \
-        * itemsize + f32_cl
-    bwd_cr = (padded * n_out + padded * channels) * itemsize \
-        + frame * channels * (itemsize + 4)
-    return max(fwd, bwd_cl, bwd_cr)
+
+
+def _vmem_bwd_estimate_bytes(shape, max_displacement, stride, dtype) -> int:
+    """Per-grid-step VMEM residency of the (batch, dy-row) backward
+    kernels. Mosaic keeps each unrolled dx window's f32 product live
+    across the row (measured with the old full-unroll kernels: 81 live
+    products = 68.8 MB of scoped stack), so the model charges n f32
+    frames on top of the blocks + the scratch accumulator."""
+    _, height, width, channels = shape
+    md = max_displacement
+    n = len(range(-md, md + 1, stride))
+    itemsize = jnp.dtype(dtype).itemsize
+    frame = height * width
+    row_win = height * (width + 2 * md)  # one pre-sliced dy row window
+    f32_frame = frame * channels * 4
+    # scratch + out block + n live dx products
+    live = f32_frame * (2 + n) + frame * channels * itemsize
+    bwd_cl = (frame * n + row_win * channels) * itemsize + live
+    bwd_cr = (row_win * n + row_win * channels) * itemsize + live
+    return max(bwd_cl, bwd_cr)
 
 
 def correlation_cost_pallas(cl: jnp.ndarray, cr: jnp.ndarray,
@@ -205,15 +297,20 @@ def correlation_cost_pallas(cl: jnp.ndarray, cr: jnp.ndarray,
                             interpret: bool = False) -> jnp.ndarray:
     """Drop-in Pallas twin of ops.correlation.correlation_cost.
 
-    Differentiable (custom VJP, two Pallas backward kernels). Falls back
-    to the XLA formulation when the per-frame blocks would not fit VMEM.
+    Differentiable (custom VJP, two Pallas backward kernels gridded over
+    (batch, dy-row)). VMEM gating is per direction: the whole call falls
+    back to the XLA formulation when the FORWARD frame blocks would not
+    fit, and the backward alone falls back to the XLA formulation's
+    native gradient when its row blocks would not fit (so forward-only
+    uses -- frozen flownet, predict -- keep the kernel at shapes whose
+    backward is too big).
 
     :param cl, cr: [batch, height, width, channels]
     :return: [batch, height, width, n_disp^2]
     """
     md = max_displacement
-    if not interpret and _vmem_estimate_bytes(cl.shape, md, stride,
-                                              cl.dtype) > VMEM_LIMIT_BYTES:
+    if not interpret and _vmem_fwd_estimate_bytes(cl.shape, md, stride,
+                                                  cl.dtype) > VMEM_LIMIT_BYTES:
         from xpt_mde_tpu.ops.correlation import correlation_cost
         return correlation_cost(cl, cr, md, stride)
     offsets = tuple(range(-md, md + 1, stride))
