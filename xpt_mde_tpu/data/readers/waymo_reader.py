@@ -1,9 +1,10 @@
 """Waymo Open Dataset reader (front camera, Day frames).
 
-Re-designs /root/reference/tfrecords/readers/waymo_reader.py. Requires
-the ``waymo_open_dataset`` package (proto definitions + range-image
-utils) at data-prep time only; the import is gated so the rest of the
-framework works without it.
+Re-designs /root/reference/tfrecords/readers/waymo_reader.py. Unlike the
+reference, this needs NO ``waymo_open_dataset`` SDK and no tensorflow:
+segments are parsed by the vendored proto subset + numpy range-image
+geometry in ``waymo_native`` (the real SDK can still be injected via the
+``sdk=`` argument and must produce identical point clouds).
 
 Logic carried over (reference line refs):
 - stream the drive's TFRecord segments sequentially with a 20-frame
@@ -31,24 +32,16 @@ T_C2V = np.array([[0, 0, 1, 0],
                   [0, 0, 0, 1]], dtype=np.float32)
 
 
-def _require_waymo():
-    try:
-        from waymo_open_dataset import dataset_pb2
-        from waymo_open_dataset.utils import frame_utils
-        import tensorflow as tf
-        return dataset_pb2, frame_utils, tf
-    except ImportError as e:
-        raise ImportError(
-            "WaymoReader needs the waymo_open_dataset package (data-prep "
-            "only). Install it on the preprocessing machine; training and "
-            "evaluation do not require it.") from e
+def _native_waymo():
+    from xpt_mde_tpu.data.readers.waymo_native import native_sdk
+    return native_sdk()
 
 
 class WaymoReader(DataReaderBase):
     def __init__(self, split: str = "train", base_path=None, sdk=None):
-        """:param sdk: optional (dataset_pb2, frame_utils, tf) triple; tests
-        inject protocol-compatible fakes so the buffer/pose/depth logic
-        runs without the waymo_open_dataset package."""
+        """:param sdk: optional (dataset_pb2, frame_utils, tf) triple
+        overriding the built-in SDK-free parser (waymo_native.native_sdk);
+        tests also inject protocol-compatible fakes here."""
         super().__init__(split, base_path)
         self._sdk = sdk
         self._pb, self._fu, self._tf = None, None, None
@@ -63,7 +56,7 @@ class WaymoReader(DataReaderBase):
                       if p.is_dir())
 
     def init_drive(self, drive_path):
-        self._pb, self._fu, self._tf = self._sdk or _require_waymo()
+        self._pb, self._fu, self._tf = self._sdk or _native_waymo()
         files = sorted(str(f) for f in Path(drive_path).glob("*.tfrecord*"))
         dataset = self._tf.data.TFRecordDataset(files, compression_type="")
         self._iterator = iter(dataset)
