@@ -49,6 +49,12 @@ def timeit(fn, *args, iters=20) -> float:
             def step(carry, _):
                 bumped = [leaf + carry.astype(leaf.dtype) * 1e-38
                           if jnp.issubdtype(leaf.dtype, jnp.floating)
+                          # ints: (carry * 1e-38) is 0 at runtime but not
+                          # provably 0 at compile time -- without this,
+                          # integer-only ops get constant-folded across
+                          # scan iterations and time as ~0
+                          else leaf + (carry * 1e-38).astype(leaf.dtype)
+                          if jnp.issubdtype(leaf.dtype, jnp.integer)
                           else leaf for leaf in leaves_in]
                 out = fn(*jax.tree_util.tree_unflatten(treedef, bumped))
                 s = sum(jnp.sum(leaf.astype(jnp.float32))
