@@ -68,6 +68,49 @@ def test_vmem_overflow_falls_back_to_xla():
         < VMEM_LIMIT_BYTES
 
 
+def test_perf_route_coarse_levels_to_xla(monkeypatch):
+    """Tiny displacement planes (PWC levels 5-6) are latency-bound in
+    the kernel and measured 5-100x faster as XLA fusions
+    (benchmarks/probe_corr_route.py); _pallas_pays routes them out,
+    overridable via XPT_CORR_MODE."""
+    from xpt_mde_tpu.ops.pallas.correlation import _pallas_pays
+
+    monkeypatch.delenv("XPT_CORR_MODE", raising=False)
+    assert not _pallas_pays((32, 2, 8, 196))     # level 6 low-res
+    assert not _pallas_pays((32, 4, 16, 128))    # level 5 low-res
+    assert not _pallas_pays((8, 4, 16, 196))     # level 6 high-res
+    assert _pallas_pays((8, 8, 32, 128))         # level 5 high-res
+    assert _pallas_pays((32, 8, 32, 96))         # level 4 onward
+    assert _pallas_pays((32, 32, 128, 32))
+    monkeypatch.setenv("XPT_CORR_MODE", "pallas")
+    assert _pallas_pays((32, 2, 8, 196))
+    monkeypatch.setenv("XPT_CORR_MODE", "xla")
+    assert not _pallas_pays((32, 32, 128, 32))
+
+
+def test_routed_coarse_level_matches_and_differentiates():
+    """The routed (XLA) coarse level is a drop-in: same values and
+    grads as the jnp twin through the correlation_cost_pallas entry."""
+    import jax
+
+    rng = np.random.RandomState(3)
+    cl = jnp.asarray(rng.randn(2, 4, 16, 12), jnp.float32)
+    cr = jnp.asarray(rng.randn(2, 4, 16, 12), jnp.float32)
+
+    def loss(fn):
+        return lambda a, b: jnp.sum(fn(a, b, 4, 1) ** 2)
+
+    # interpret=False on CPU is fine here: the perf route returns the
+    # XLA formulation before any pallas_call is built
+    out = correlation_cost_pallas(cl, cr, 4, 1)
+    ref = correlation_cost(cl, cr, 4, 1)
+    assert np.allclose(out, ref, atol=1e-6)
+    g_out = jax.grad(loss(lambda a, b, m, s: correlation_cost_pallas(
+        a, b, m, s)))(cl, cr)
+    g_ref = jax.grad(loss(correlation_cost))(cl, cr)
+    assert np.allclose(g_out, g_ref, atol=1e-6)
+
+
 def test_grad_through_pwcnet_pallas():
     """Flow stages differentiate through the Pallas correlation path
     (VERDICT weak #1: used to raise 'Linearization failed')."""

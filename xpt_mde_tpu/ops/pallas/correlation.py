@@ -33,6 +33,7 @@ tests assert bit-level equivalence (values and grads) in interpreter mode.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 # leave headroom below the ~16 MB/core VMEM for compiler temporaries
 VMEM_LIMIT_BYTES = 12 * 1024 * 1024
+
+
+def _pallas_pays(shape) -> bool:
+    """Measured per-shape choice (benchmarks/probe_corr_route.py, v5e).
+
+    The coarse PWC levels invert: at [32,2,8,196] (level 6) and
+    [32,4,16,128] (level 5, 128x512 inputs) the XLA formulation is
+    5-100x faster fwd AND bwd -- the kernel's [H, W] displacement
+    planes occupy single-digit cells of the 8x128 VPU tile and its
+    channel reduction serializes over such tiles. From [8,32] spatial
+    up the kernel wins by 2-8x fwd (L2 is mixed: XLA 1.5x faster
+    forward-only, the kernel 1.2x faster fwd+bwd -- kept on the
+    kernel). Override with XPT_CORR_MODE=pallas|xla.
+    """
+    mode = os.environ.get("XPT_CORR_MODE", "auto")
+    if mode == "pallas":
+        return True
+    if mode == "xla":
+        return False
+    _, height, width, _ = shape
+    return height * width > 64
 
 
 def _corr_kernel(cl_ref, cr_pad_ref, out_ref, *, offsets, height, width,
@@ -298,19 +320,22 @@ def correlation_cost_pallas(cl: jnp.ndarray, cr: jnp.ndarray,
     """Drop-in Pallas twin of ops.correlation.correlation_cost.
 
     Differentiable (custom VJP, two Pallas backward kernels gridded over
-    (batch, dy-row)). VMEM gating is per direction: the whole call falls
-    back to the XLA formulation when the FORWARD frame blocks would not
-    fit, and the backward alone falls back to the XLA formulation's
-    native gradient when its row blocks would not fit (so forward-only
-    uses -- frozen flownet, predict -- keep the kernel at shapes whose
-    backward is too big).
+    (batch, dy-row)). Two gates route to the XLA formulation wholesale:
+    a perf route for tiny spatial planes where the kernel is
+    latency-bound (``_pallas_pays``), and a VMEM gate when the FORWARD
+    frame blocks would not fit; additionally the backward alone falls
+    back to the XLA formulation's native gradient when its row blocks
+    would not fit (so forward-only uses -- frozen flownet, predict --
+    keep the kernel at shapes whose backward is too big).
 
     :param cl, cr: [batch, height, width, channels]
     :return: [batch, height, width, n_disp^2]
     """
     md = max_displacement
-    if not interpret and _vmem_fwd_estimate_bytes(cl.shape, md, stride,
-                                                  cl.dtype) > VMEM_LIMIT_BYTES:
+    if not interpret and (
+            not _pallas_pays(cl.shape)
+            or _vmem_fwd_estimate_bytes(cl.shape, md, stride,
+                                        cl.dtype) > VMEM_LIMIT_BYTES):
         from xpt_mde_tpu.ops.correlation import correlation_cost
         return correlation_cost(cl, cr, md, stride)
     offsets = tuple(range(-md, md + 1, stride))
