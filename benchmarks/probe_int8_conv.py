@@ -49,10 +49,13 @@ def main():
         x_i8 = jnp.asarray(np.clip(x * 127, -127, 127), jnp.int8)
         w_i8 = jnp.asarray(np.clip(w * 635, -127, 127), jnp.int8)
 
-        t_bf = timeit(lambda a, b: conv(a, b, stride), x_bf, w_bf)
+        # sub-100us kernels: need 300+ chained iterations on the tunnel
+        # (CLAUDE.md timing note) or the slope is pure noise
+        t_bf = timeit(lambda a, b: conv(a, b, stride), x_bf, w_bf,
+                      iters=300)
         try:
             t_i8 = timeit(lambda a, b: conv(a, b, stride, jnp.int32),
-                          x_i8, w_i8)
+                          x_i8, w_i8, iters=300)
         except Exception as e:  # unsupported lowering
             print(f"{name:12s} bf16 {t_bf*1e3:7.3f} ms   int8 FAILED: "
                   f"{type(e).__name__}: {str(e)[:120]}")

@@ -61,6 +61,61 @@ def test_pwcnet_shapes():
         assert np.isfinite(np.asarray(f)).all()
 
 
+def test_pack_conv_kernel_s2_equivalence():
+    """s2d(conv_s2(x, w)) == conv_s2(s2d(x), lifted w) with the packed
+    conv's explicit (0, 1) padding (layers.pack_conv_kernel_s2)."""
+    from xpt_mde_tpu.models.layers import pack_conv_kernel_s2, space_to_depth
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 16, 24, 6).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 6, 5).astype(np.float32) * 0.1)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    packed = jax.lax.conv_general_dilated(
+        space_to_depth(x), pack_conv_kernel_s2(w), (2, 2),
+        ((0, 1), (0, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(packed),
+                               np.asarray(space_to_depth(ref)),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_packed_encoder_matches_plain():
+    """packed=True PWCNet: identical param tree (checkpoints
+    interchange) and identical flows/grads at f32."""
+    from xpt_mde_tpu.models.flow_net import PWCNet
+    b, s, h, w = 1, 2, 64, 128
+    x = jnp.asarray(np.random.RandomState(5).rand(b, s, h, w, 3)
+                    .astype(np.float32) * 2 - 1)
+    plain = PWCNet()
+    packed = PWCNet(packed_encoder=True)
+    variables = plain.init(jax.random.PRNGKey(0), x, train=False)
+    vp = packed.init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(vp))
+    for a, b_ in zip(jax.tree_util.tree_leaves(variables),
+                     jax.tree_util.tree_leaves(vp)):
+        assert a.shape == b_.shape
+
+    out_a = plain.apply(variables, x, train=False)
+    out_b = packed.apply(variables, x, train=False)
+    for fa, fb in zip(out_a["flow_ms"], out_b["flow_ms"]):
+        np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                                   atol=1e-4, rtol=1e-4)
+
+    def loss(params, net):
+        out = net.apply({"params": params}, x, train=False)
+        return sum(jnp.mean(f.astype(jnp.float32) ** 2)
+                   for f in out["flow_ms"])
+
+    ga = jax.grad(loss)(variables["params"], plain)
+    gb = jax.grad(loss)(variables["params"], packed)
+    for (pa, a), (pb, b_) in zip(
+            jax.tree_util.tree_leaves_with_path(ga),
+            jax.tree_util.tree_leaves_with_path(gb)):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=5e-3, err_msg=str(pa))
+
+
 def test_pwcnet_grads_finite():
     from xpt_mde_tpu.models.flow_net import PWCNet
     b, s, h, w = 1, 2, 64, 64

@@ -157,6 +157,9 @@ class ModelFactory:
             import jax
 
             from xpt_mde_tpu.models.flow_net import PWCNet
-            use_pallas = jax.default_backend() not in ("cpu",)
-            return PWCNet(dtype=self.dtype, use_pallas=use_pallas)
+            on_tpu = jax.default_backend() not in ("cpu",)
+            # packed encoder: same lane-padding fix as the depth
+            # decoder's packed_tail; exact math, CPU keeps plain
+            return PWCNet(dtype=self.dtype, use_pallas=on_tpu,
+                          packed_encoder=on_tpu)
         raise ValueError(f"wrong flow net name: {net_name}")

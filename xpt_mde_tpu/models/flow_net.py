@@ -28,7 +28,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from xpt_mde_tpu.models.layers import Conv
+from xpt_mde_tpu.models.layers import Conv, depth_to_space, space_to_depth
 from xpt_mde_tpu.ops.correlation import correlation_cost
 from xpt_mde_tpu.ops.flow_warp import flow_bilinear_sample
 
@@ -36,17 +36,35 @@ MAX_DISPLACEMENT = 128
 
 
 class PWCEncoder(nn.Module):
+    """Siamese 6-level pyramid (flow_net.py:65-84).
+
+    ``packed=True`` evaluates levels 1-2 in the space-to-depth domain:
+    their C=16/32 feature maps are lane-starved on TPU (channels pad to
+    128 lanes) and the packed lift (layers.pack_conv_kernel[_s2], exact
+    same multiply-adds and param tree) measured 1.8-2x faster fwd+bwd
+    at every bench shape (benchmarks/probe_packed_pwc.py). Level-1
+    features are returned PACKED ([H/4, W/4, 64]) -- no consumer reads
+    them unpacked (PWCNet uses feats[1:]); level 2 unpacks for the
+    correlation volume."""
+
     dtype: Any = jnp.float32
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x):
         feats = []
-        for chans in (16, 32, 64, 96, 128, 196):
-            x = Conv(chans, 3, 2, dtype=self.dtype)(x)
-            x = Conv(chans, 3, 1, dtype=self.dtype)(x)
-            x = Conv(chans, 3, 1, dtype=self.dtype)(x)
+        levels = (16, 32, 64, 96, 128, 196)
+        if self.packed:
+            x = space_to_depth(x)
+        for i, chans in enumerate(levels):
+            packed = self.packed and i < 2
+            x = Conv(chans, 3, 2, packed=packed, dtype=self.dtype)(x)
+            x = Conv(chans, 3, 1, packed=packed, dtype=self.dtype)(x)
+            x = Conv(chans, 3, 1, packed=packed, dtype=self.dtype)(x)
+            if packed and i == 1:
+                x = depth_to_space(x)  # level 2 feeds correlation
             feats.append(x)
-        return feats  # strides 2, 4, 8, 16, 32, 64
+        return feats  # strides 2, 4, 8, 16, 32, 64 (feats[0] may be packed)
 
 
 class FlowPredictor(nn.Module):
@@ -90,6 +108,7 @@ class ContextNetwork(nn.Module):
 class PWCNet(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False  # Pallas correlation kernel (TPU only)
+    packed_encoder: bool = False  # space-to-depth encoder levels 1-2
 
     def _corr(self, cl, cr, p):
         md = MAX_DISPLACEMENT // 2 ** p
@@ -117,8 +136,10 @@ class PWCNet(nn.Module):
         # UNTIED target/source encoders -- reference parity: pwc_encode
         # builds distinct "_l"/"_r" weight sets (flow_net.py:29-30,65-84).
         # (Canonical PWC-Net shares the pyramid; the reference does not.)
-        feats_l = PWCEncoder(dtype=self.dtype, name="encoder_l")(target)
-        feats_r = PWCEncoder(dtype=self.dtype, name="encoder_r")(sources)
+        feats_l = PWCEncoder(dtype=self.dtype, packed=self.packed_encoder,
+                             name="encoder_l")(target)
+        feats_r = PWCEncoder(dtype=self.dtype, packed=self.packed_encoder,
+                             name="encoder_r")(sources)
         # repeat target features for every source
         feats_l = [jnp.repeat(f, numsrc, axis=0) for f in feats_l]
         c2l, c3l, c4l, c5l, c6l = feats_l[1:]

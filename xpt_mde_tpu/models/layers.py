@@ -41,12 +41,13 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.packed:
-            assert (self.kernel_size, self.strides, self.dilation) \
-                == (3, 1, 1), "packed conv is 3x3 stride-1 only"
+            assert (self.kernel_size, self.dilation) == (3, 1) \
+                and self.strides in (1, 2), \
+                "packed conv is 3x3 stride-1/2 only"
             # name="Conv_0" keeps the param tree identical to the
             # unpacked nn.Conv path (checkpoint compatibility)
-            x = PackedConv2D(self.features, dtype=self.dtype,
-                             name="Conv_0")(x)
+            x = PackedConv2D(self.features, strides=self.strides,
+                             dtype=self.dtype, name="Conv_0")(x)
         else:
             x = nn.Conv(self.features,
                         kernel_size=(self.kernel_size, self.kernel_size),
@@ -110,6 +111,34 @@ def _pack_placement():
 _PACK_IDX, _PACK_MASK = _pack_placement()
 
 
+def _pack_placement_s2():
+    """Static tap tables for the STRIDE-2 kernel lift. Fine-grid
+    stride-2 k3 SAME conv on even-size input pads (0, 1), so
+    out[r] = sum_u w[u] in[2r+u]; packed output row (I, oi) is fine row
+    2I+oi and reads fine input rows 4I+2oi+u -> packed input rows 2I+s
+    with sub-offset di where u = 2s + di - 2oi (valid for 0 <= u <= 2).
+    The packed conv is then itself stride-2 k3 with padding (0, 1) and
+    produces PACKED output (both spatial dims halve twice overall)."""
+    idx = np.zeros((3, 3, 4, 4), np.int32)
+    msk = np.zeros((3, 3, 4, 4), np.float32)
+    for s in range(3):
+        for t in range(3):
+            for di in range(2):
+                for dj in range(2):
+                    for oi in range(2):
+                        for oj in range(2):
+                            u = 2 * s + di - 2 * oi
+                            v = 2 * t + dj - 2 * oj
+                            if 0 <= u <= 2 and 0 <= v <= 2:
+                                ib, ob = di * 2 + dj, oi * 2 + oj
+                                idx[s, t, ib, ob] = u * 3 + v
+                                msk[s, t, ib, ob] = 1.0
+    return idx, msk
+
+
+_S2_IDX, _S2_MASK = _pack_placement_s2()
+
+
 def pack_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
     """Lift a 3x3 stride-1 SAME conv kernel [3, 3, Cin, Cout] to the
     space-to-depth domain: [3, 3, 4Cin, 4Cout] such that
@@ -127,6 +156,21 @@ def pack_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
     return taps.transpose(0, 1, 2, 4, 3, 5).reshape(3, 3, 4 * cin, 4 * cout)
 
 
+def pack_conv_kernel_s2(w: jnp.ndarray) -> jnp.ndarray:
+    """Lift a 3x3 STRIDE-2 SAME conv kernel [3, 3, Cin, Cout] to the
+    space-to-depth domain [3, 3, 4Cin, 4Cout] such that
+    s2d(conv_s2(x, w)) == conv_s2(s2d(x), wp) with explicit padding
+    ((0, 1), (0, 1)) on the packed conv -- input AND output packed, so
+    a packed net never leaves the packed domain at stride-2 levels.
+    Requires even input H, W (TF SAME for stride-2 k3 then pads (0, 1),
+    which the lift bakes in; see _pack_placement_s2)."""
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3), "packed conv supports 3x3 kernels only"
+    taps = w.reshape(9, cin, cout)[_S2_IDX]
+    taps = taps * jnp.asarray(_S2_MASK, w.dtype)[..., None, None]
+    return taps.transpose(0, 1, 2, 4, 3, 5).reshape(3, 3, 4 * cin, 4 * cout)
+
+
 class PackedConv2D(nn.Module):
     """3x3 SAME conv evaluated in the space-to-depth domain.
 
@@ -140,6 +184,7 @@ class PackedConv2D(nn.Module):
     64..128 effective channels at 4x the FLOPs but ~10x the rate."""
 
     features: int  # ORIGINAL (unpacked) output channels
+    strides: int = 1  # stride-2 stays in the packed domain (s2 lift)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -149,9 +194,14 @@ class PackedConv2D(nn.Module):
                             (3, 3, cin, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
-        wp = pack_conv_kernel(kernel).astype(self.dtype)
+        if self.strides == 2:
+            wp = pack_conv_kernel_s2(kernel).astype(self.dtype)
+            pad = ((0, 1), (0, 1))
+        else:
+            wp = pack_conv_kernel(kernel).astype(self.dtype)
+            pad = "SAME"
         y = jax.lax.conv_general_dilated(
-            xp.astype(self.dtype), wp, (1, 1), "SAME",
+            xp.astype(self.dtype), wp, (self.strides, self.strides), pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return y + jnp.tile(bias, 4).astype(self.dtype)
 
