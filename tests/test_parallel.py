@@ -88,6 +88,31 @@ def test_parallel_matches_single_device(dp_parts):
     assert max_diff < 1e-4, max_diff
 
 
+def test_lockstep_wrapper_matches_direct_call(dp_parts):
+    """multihost.lockstep (AOT compile + barrier + execute) is
+    semantically transparent: same results as calling the jitted step,
+    donation still honored, compiled executable reused across calls."""
+    from xpt_mde_tpu.parallel import lockstep
+
+    data, model, total_loss, batch = dp_parts
+    mesh = make_mesh()
+    sharded = shard_batch(batch, mesh)
+
+    state_a = replicate_state(_fresh_state(model, batch), mesh)
+    step = make_parallel_train_step(model, total_loss, mesh)
+    state_a, m_direct = step(state_a, sharded, jax.random.PRNGKey(0))
+
+    state_b = replicate_state(_fresh_state(model, batch), mesh)
+    locked = lockstep(make_parallel_train_step(model, total_loss, mesh),
+                      "test")
+    state_b, m_locked = locked(state_b, sharded, jax.random.PRNGKey(0))
+    assert float(m_direct["loss"]) == float(m_locked["loss"])
+    # second call: same signature -> cached executable, donation works
+    state_b, m2 = locked(state_b, shard_batch(batch, mesh),
+                         jax.random.PRNGKey(1))
+    assert np.isfinite(float(m2["loss"]))
+
+
 def test_data_spatial_mesh_matches_single_device(dp_parts):
     """2-D (data=4, spatial=2) mesh: batch shards over data AND image
     height shards over spatial (high-res scaling mode); results must

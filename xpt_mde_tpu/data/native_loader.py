@@ -137,10 +137,12 @@ class NativeDatasetLoader(DatasetLoader):
 
     def __init__(self, shard_dir, batch_size: int, snippet_len: int = 5,
                  shuffle: bool = True, seed: int = 0, num_threads: int = 8,
+                 process_index: int = 0, process_count: int = 1,
                  raw_images: bool = False):
         self.native = NativeShardReader(shard_dir, num_threads)
         super().__init__(self.native.ds, batch_size, snippet_len, shuffle,
-                         seed, raw_images=raw_images)
+                         seed, process_index=process_index,
+                         process_count=process_count, raw_images=raw_images)
 
     def config_keys(self):
         return self.ds.keys()
@@ -219,18 +221,28 @@ class PrefetchLoader:
 
 def make_loader(shard_dir, batch_size: int, snippet_len: int = 5,
                 shuffle: bool = True, seed: int = 0,
-                prefetch: int = 2, raw_images: bool = False):
+                prefetch: int = 2, process_index: int = 0,
+                process_count: int = 1, raw_images: bool = False):
     """Best-available loader: native + prefetch, else numpy.
+
+    ``batch_size`` is PER PROCESS; on multi-host runs pass
+    (process_index, process_count) so each host reads a disjoint slice
+    of the shared shuffle order (parallel.multihost).
 
     ``raw_images`` ships image5d as uint8; the train/eval/predict steps
     decode on device (training.train_step.decode_image_features)."""
     try:
         loader = NativeDatasetLoader(shard_dir, batch_size, snippet_len,
-                                     shuffle, seed, raw_images=raw_images)
+                                     shuffle, seed,
+                                     process_index=process_index,
+                                     process_count=process_count,
+                                     raw_images=raw_images)
     except Exception as e:
         print(f"[make_loader] native loader unavailable ({e}); numpy path")
         loader = DatasetLoader(ShardDataset(shard_dir), batch_size,
                                snippet_len, shuffle, seed,
+                               process_index=process_index,
+                               process_count=process_count,
                                raw_images=raw_images)
     if prefetch > 0:
         return PrefetchLoader(loader, prefetch)

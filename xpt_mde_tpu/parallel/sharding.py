@@ -63,8 +63,16 @@ def feature_sharding(mesh: Mesh, ndim: int, name: str = "") -> NamedSharding:
 
 def shard_batch(features: Mapping[str, Any], mesh: Mesh) -> dict:
     """Device-put every feature array with its mesh sharding (batch axis,
-    plus the image height axis on a 2-D data x spatial mesh)."""
+    plus the image height axis on a 2-D data x spatial mesh).
+
+    Multi-host: each process passes only its PROCESS-LOCAL rows (the
+    loader's disjoint slice of the global batch) and gets back the
+    global array (jax.make_array_from_process_local_data)."""
     import numpy as np
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(
+                    feature_sharding(mesh, np.ndim(v), k), np.asarray(v))
+                for k, v in features.items()}
     return {k: jax.device_put(v, feature_sharding(mesh, np.ndim(v), k))
             for k, v in features.items()}
 

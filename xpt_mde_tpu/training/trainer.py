@@ -51,10 +51,15 @@ def default_dataset_factory(cfg: Config):
     def factory(dataset_name: str, split: str, batch_size: int):
         # raw uint8 snippets; the train/eval steps decode on device
         # (train_step.decode_image_features) -- 4x less host decode work
-        # and host->device transfer (benchmarks/loader_bench.py)
+        # and host->device transfer (benchmarks/loader_bench.py).
+        # batch_size arrives per-process (StageRuntime divides); each
+        # host reads its disjoint slice of the shared shuffle order.
         return make_loader(Path(cfg.datapath_shd) / f"{dataset_name}_{split}",
                            batch_size, cfg.snippet_len,
-                           shuffle=(split == "train"), raw_images=True)
+                           shuffle=(split == "train"),
+                           process_index=jax.process_index(),
+                           process_count=jax.process_count(),
+                           raw_images=True)
     return factory
 
 
@@ -69,11 +74,19 @@ class StageRuntime:
         self.cfg = cfg
         self.stage = stage
         self.mesh = mesh
+        # cfg.batch_size is the GLOBAL batch (TotalLoss divides by it);
+        # each host loads global/nproc rows and shard_batch assembles
+        # the global array from the process-local slices
+        nproc = jax.process_count()
+        if cfg.batch_size % nproc:
+            raise ValueError(f"global batch {cfg.batch_size} must divide "
+                             f"by process count {nproc}")
+        proc_batch = cfg.batch_size // nproc
         self.train_loader = dataset_factory(stage.dataset, "train",
-                                            cfg.batch_size)
+                                            proc_batch)
         try:
             self.val_loader = dataset_factory(stage.dataset, "val",
-                                              cfg.batch_size)
+                                              proc_batch)
         except FileNotFoundError as exc:
             # only a genuinely absent val split is skippable; schema or IO
             # errors must surface (VERDICT r1 weak #7)
@@ -139,6 +152,15 @@ class StageRuntime:
             self._replicate = lambda s: s
         self.eval_step = make_eval_step(self.model, self.total_loss)
         self.predict_step = make_predict_step(self.model)
+        if jax.process_count() > 1 and mesh is not None:
+            # AOT-compile + cross-process barrier before each program's
+            # first execution: collective-context rendezvous only waits
+            # ~30s for peers, but compile skew between hosts (persistent
+            # cache hits, shared cores) is unbounded (parallel.multihost)
+            from xpt_mde_tpu.parallel.multihost import lockstep
+            self.train_step = lockstep(self.train_step, "train_step")
+            self.eval_step = lockstep(self.eval_step, "eval_step")
+            self.predict_step = lockstep(self.predict_step, "predict_step")
 
     @staticmethod
     def _loader_keys(loader):
@@ -202,9 +224,11 @@ def train_by_plan(cfg: Config, dataset_factory: Optional[Callable] = None,
                   mesh=None) -> None:
     """Walk the training plan, resuming completed stages
     (model_main.py:20-27)."""
+    from xpt_mde_tpu.parallel import is_main_process
     dataset_factory = dataset_factory or default_dataset_factory(cfg)
     ckpt_dir = Path(cfg.datapath_ckp) / cfg.ckpt_name
-    snapshot_config(ckpt_dir, cfg.to_json_dict())
+    if is_main_process():  # one writer per shared filesystem
+        snapshot_config(ckpt_dir, cfg.to_json_dict())
     initial_epoch = read_previous_epoch(ckpt_dir)
 
     target_epoch = 0
@@ -256,12 +280,20 @@ def train_stage(cfg: Config, stage: TrainStage, stage_idx: int,
 
         # checkpoint FIRST: history.csv drives resume, so the weights an
         # epoch produced must be on disk before the log claims it is done
-        # (a crash in between re-trains the epoch instead of skipping it)
-        ckpt.save(runtime.state, "latest", stage_idx=stage_idx)
-        logger.save_log(epoch, train_metrics, val_metrics)
+        # (a crash in between re-trains the epoch instead of skipping it).
+        # predict_step is a collective program -- EVERY host runs it;
+        # only the main process touches the filesystem, reading its
+        # process-local rows of the sharded preds (multihost.local_view)
+        from xpt_mde_tpu.parallel import is_main_process, local_view
+        if is_main_process():
+            ckpt.save(runtime.state, "latest", stage_idx=stage_idx)
+            logger.save_log(epoch, train_metrics, val_metrics)
         preds = runtime.predict_step(runtime.state, runtime.example)
-        logger.save_scales(epoch, preds)
-        logger.save_reconstruction_samples(epoch, runtime.example, preds)
-    if stage.save_ckpt:
+        if is_main_process():
+            preds_l = jax.tree_util.tree_map(local_view, preds)
+            example_l = jax.tree_util.tree_map(local_view, runtime.example)
+            logger.save_scales(epoch, preds_l)
+            logger.save_reconstruction_samples(epoch, example_l, preds_l)
+    if stage.save_ckpt and jax.process_index() == 0:
         ckpt.save(runtime.state, f"ep{target_epoch:02d}",
                   stage_idx=stage_idx)
