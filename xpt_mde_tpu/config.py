@@ -216,6 +216,12 @@ class Config:
     validation_frames: int = 500
     frames_per_shard: int = 2000
     log_loss: bool = True
+    # preemption safety: checkpoint the full train state every N steps
+    # (0 = epoch-end only, the reference's granularity). With N > 0 a
+    # killed run resumes mid-epoch at the last saved step, bit-exact:
+    # rngs are fold_in(epoch, step) chains and the loader order is a
+    # pure function of (seed, epoch), so nothing else needs saving.
+    ckpt_every_steps: int = 0
 
     # parallelism: 1-D data mesh by default; extra axes are hooks for
     # spatial/model sharding if ever needed (SURVEY.md section 2.7)

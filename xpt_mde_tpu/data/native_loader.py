@@ -148,8 +148,14 @@ class NativeDatasetLoader(DatasetLoader):
         return self.ds.keys()
 
     def __iter__(self):
+        return self.iter_from(0)
+
+    def iter_from(self, start_step: int):
+        """Epoch iterator starting at batch ``start_step`` (skipped
+        batches cost nothing: the shuffle order is just sliced)."""
         order = self._epoch_order()
-        for start in range(0, self.steps_per_epoch * self.batch_size,
+        for start in range(start_step * self.batch_size,
+                           self.steps_per_epoch * self.batch_size,
                            self.batch_size):
             idxs = order[start:start + self.batch_size]
             raw = self.native.read_batch(idxs,
@@ -177,6 +183,19 @@ class PrefetchLoader:
         return self.loader.steps_per_epoch
 
     def __iter__(self):
+        return self._iter(self.loader)
+
+    def iter_from(self, start_step: int):
+        """Resume-aware epoch iterator (delegates the skip to the
+        wrapped loader when it can slice its order; otherwise consumes
+        and discards the first ``start_step`` batches)."""
+        if hasattr(self.loader, "iter_from"):
+            return self._iter(self.loader.iter_from(start_step))
+        import itertools
+        return self._iter(itertools.islice(iter(self.loader),
+                                           start_step, None))
+
+    def _iter(self, source):
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         sentinel = object()
         stop = threading.Event()
@@ -194,7 +213,7 @@ class PrefetchLoader:
 
         def producer():
             try:
-                for item in self.loader:
+                for item in source:
                     if not put(item):
                         return  # consumer abandoned the iterator
             except Exception as e:  # propagate to consumer

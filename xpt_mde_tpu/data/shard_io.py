@@ -294,8 +294,16 @@ class DatasetLoader:
         return order
 
     def __iter__(self) -> Iterator[dict]:
+        return self.iter_from(0)
+
+    def iter_from(self, start_step: int) -> Iterator[dict]:
+        """Iterate this epoch from batch ``start_step`` WITHOUT reading
+        the skipped examples (mid-epoch preemption resume: the epoch
+        order is a pure function of (seed, epoch), so skipping is just
+        slicing it)."""
         order = self._epoch_order()
-        for start in range(0, self.steps_per_epoch * self.batch_size,
+        for start in range(start_step * self.batch_size,
+                           self.steps_per_epoch * self.batch_size,
                            self.batch_size):
             idxs = order[start:start + self.batch_size]
             yield self._to_features([self.ds.read_example(i) for i in idxs])

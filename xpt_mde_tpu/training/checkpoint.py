@@ -132,6 +132,57 @@ class CheckpointManager:
         return state
 
 
+    # --- mid-epoch (preemption-safe) checkpoints ---------------------------
+    # The reference resumes at epoch granularity only (history.csv,
+    # util_funcs.py:129-143). For preemptible TPU pods that loses up to
+    # a full epoch; save_midway() checkpoints the full train state plus
+    # (stage, epoch, completed steps, running metric sums) every N steps
+    # (Config.ckpt_every_steps). The sidecar JSON is written AFTER the
+    # state file, so its presence commits the pair atomically.
+
+    def save_midway(self, state, stage_idx: int, epoch: int,
+                    steps_done: int, metric_sums: dict, count: int):
+        full = {"params": state.params, "opt_state": state.opt_state,
+                "step": state.step, "stage": np.int32(stage_idx)}
+        if state.batch_stats is not None:
+            full["batch_stats"] = state.batch_stats
+        _write_atomic(self.ckpt_dir / "trainstate_midway.msgpack",
+                      flax.serialization.to_bytes(full))
+        meta = {"stage": stage_idx, "epoch": epoch, "steps_done": steps_done,
+                "metric_sums": {k: float(v) for k, v in metric_sums.items()},
+                "count": count}
+        _write_atomic(self.ckpt_dir / "midway.json",
+                      json.dumps(meta).encode())
+
+    def restore_midway(self, state, stage_idx: int, epoch: int):
+        """(state, steps_done, metric_sums, count) if a midway
+        checkpoint exists for exactly this (stage, epoch), else None."""
+        meta_path = self.ckpt_dir / "midway.json"
+        if not meta_path.is_file():
+            return None
+        try:
+            meta = json.loads(meta_path.read_text())
+        except ValueError:
+            return None
+        if meta.get("stage") != stage_idx or meta.get("epoch") != epoch:
+            return None
+        restored = self.restore_full(state, "midway", stage_idx)
+        if restored is None:
+            return None
+        print(f"[ckpt] mid-epoch resume: stage {stage_idx} epoch {epoch} "
+              f"at step {meta['steps_done']}")
+        return (restored, int(meta["steps_done"]),
+                dict(meta["metric_sums"]), int(meta["count"]))
+
+    def clear_midway(self):
+        """Drop the midway marker once the epoch completes (the
+        epoch-end 'latest' checkpoint + history.csv take over)."""
+        for name in ("midway.json", "trainstate_midway.msgpack"):
+            path = self.ckpt_dir / name
+            if path.is_file():
+                path.unlink()
+
+
 def read_previous_epoch(ckpt_dir) -> int:
     """Next epoch to run, from history.csv (util_funcs.py:129-143)."""
     hist = Path(ckpt_dir) / "history.csv"

@@ -179,20 +179,40 @@ class StageRuntime:
 
     # --- epoch loops ------------------------------------------------------
 
-    def run_train_epoch(self, rng, log_every: int = 50) -> dict:
-        metric_sums, count = None, 0
+    def run_train_epoch(self, rng, log_every: int = 50, start_step: int = 0,
+                        metric_sums=None, count: int = 0,
+                        save_cb=None) -> dict:
+        """One training epoch, resumable mid-epoch.
+
+        ``rng`` is the EPOCH key; each step folds in its index, so the
+        per-step stream is independent of where the epoch (re)starts.
+        (start_step, metric_sums, count) come from a midway checkpoint;
+        ``save_cb(steps_done, metric_sums, count)`` fires every
+        cfg.ckpt_every_steps completed steps."""
         steps = getattr(self.train_loader, "steps_per_epoch", None)
         if steps is None:
             steps = len(self.train_loader)
+        every = self.cfg.ckpt_every_steps
+        if hasattr(self.train_loader, "iter_from"):
+            batches = self.train_loader.iter_from(start_step)
+        else:
+            import itertools
+            batches = itertools.islice(iter(self.train_loader),
+                                       start_step, None)
         with DurationTime() as dt:
-            for step_idx, batch in enumerate(self.train_loader):
-                rng, sub = jax.random.split(rng)
+            for step_idx, batch in enumerate(batches, start=start_step):
+                sub = jax.random.fold_in(rng, step_idx)
                 self.state, metrics = self.train_step(
                     self.state, self._to_device(batch), sub)
                 # on-device accumulation; host sync only on log interval
                 metric_sums = metrics if metric_sums is None else \
                     jax.tree_util.tree_map(jnp.add, metric_sums, metrics)
                 count += 1
+                if save_cb is not None and every > 0 \
+                        and (step_idx + 1) % every == 0:
+                    save_cb(step_idx + 1,
+                            {k: float(v) for k, v in metric_sums.items()},
+                            count)
                 if step_idx % log_every == 0:
                     loss = float(metrics["loss"])
                     print_progress(f"  train {step_idx}/{steps} "
@@ -266,13 +286,29 @@ def train_stage(cfg: Config, stage: TrainStage, stage_idx: int,
             pre = (Path(cfg.datapath) / "pretrained"
                    / f"{stage.net_names.get('depth', '')}.msgpack")
             runtime.state, _ = load_pretrained_backbone(runtime.state, pre)
+    # mid-epoch (preemption) resume: newer than "latest" by definition
+    start_step, mid_sums, mid_count = 0, None, 0
+    midway = ckpt.restore_midway(runtime.state, stage_idx, initial_epoch)
+    if midway is not None:
+        runtime.state, start_step, mid_sums, mid_count = midway
     runtime.state = runtime._replicate(runtime.state)
 
-    rng = jax.random.PRNGKey(initial_epoch)
+    from xpt_mde_tpu.parallel import is_main_process, local_view
+    base_rng = jax.random.PRNGKey(0)
     for epoch in range(initial_epoch, target_epoch):
         print(f"========== epoch {epoch} (stage {stage_idx})")
-        rng, sub = jax.random.split(rng)
-        train_metrics = runtime.run_train_epoch(sub)
+        # epoch key by fold_in (not a split chain): identical no matter
+        # which epoch/step the run resumed from
+        sub = jax.random.fold_in(base_rng, epoch)
+        save_cb = None
+        if cfg.ckpt_every_steps > 0 and is_main_process():
+            def save_cb(steps_done, sums, count, _epoch=epoch):
+                ckpt.save_midway(runtime.state, stage_idx, _epoch,
+                                 steps_done, sums, count)
+        train_metrics = runtime.run_train_epoch(
+            sub, start_step=start_step, metric_sums=mid_sums,
+            count=mid_count, save_cb=save_cb)
+        start_step, mid_sums, mid_count = 0, None, 0  # only 1st epoch resumes
         val_metrics = runtime.run_val_epoch()
         print(f"  epoch {epoch}: train_loss={train_metrics.get('loss', 0):.4f}"
               f" val_loss={val_metrics.get('loss', 0):.4f}"
@@ -284,10 +320,10 @@ def train_stage(cfg: Config, stage: TrainStage, stage_idx: int,
         # predict_step is a collective program -- EVERY host runs it;
         # only the main process touches the filesystem, reading its
         # process-local rows of the sharded preds (multihost.local_view)
-        from xpt_mde_tpu.parallel import is_main_process, local_view
         if is_main_process():
             ckpt.save(runtime.state, "latest", stage_idx=stage_idx)
             logger.save_log(epoch, train_metrics, val_metrics)
+            ckpt.clear_midway()  # the epoch-end checkpoint supersedes it
         preds = runtime.predict_step(runtime.state, runtime.example)
         if is_main_process():
             preds_l = jax.tree_util.tree_map(local_view, preds)
