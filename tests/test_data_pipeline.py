@@ -265,6 +265,30 @@ def test_multi_process_input_sharding(kitti_tree, tmp_path):
     assert l0.steps_per_epoch == len(ds) // 4
 
 
+def test_parallel_shard_build_matches_serial(kitti_tree, tmp_path):
+    """Drives build over a spawn process pool (shard_build_workers);
+    the output must be byte-identical to the serial build (per-drive
+    dirs are independent, merge order is by drive index)."""
+    from xpt_mde_tpu.config import Config
+    from xpt_mde_tpu.data.shard_maker import ShardMaker
+
+    outs = {}
+    for mode, workers in (("serial", 0), ("pool", 2)):
+        cfg = Config(datapath=str(tmp_path / mode),
+                     image_size_overrides={"kitti_raw": (32, 96)},
+                     shard_build_workers=workers)
+        outs[mode] = ShardMaker(cfg, "kitti_raw", "train", kitti_tree,
+                                data_keys=["image", "intrinsic"],
+                                drives=[(DATE, DRIVE), (DATE, DRIVE)]).make()
+    serial_files = sorted(p.name for p in outs["serial"].iterdir())
+    pool_files = sorted(p.name for p in outs["pool"].iterdir())
+    assert serial_files == pool_files and len(serial_files) > 1
+    for name in serial_files:
+        a = (outs["serial"] / name).read_bytes()
+        b = (outs["pool"] / name).read_bytes()
+        assert a == b, f"parallel build diverged in {name}"
+
+
 def test_synthetic_shard_maker(tmp_path):
     """ShardMaker('synthetic', ...) builds real shards with zero raw
     data via SyntheticReader (the advertised smoke/demo path)."""

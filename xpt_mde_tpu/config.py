@@ -216,6 +216,10 @@ class Config:
     validation_frames: int = 500
     frames_per_shard: int = 2000
     log_loss: bool = True
+    # dataset conversion: drives build in parallel over a spawn process
+    # pool (0/1 = serial, the reference's behavior); per-drive shard
+    # dirs are independent so the output is identical either way
+    shard_build_workers: int = 0
     # preemption safety: checkpoint the full train state every N steps
     # (0 = epoch-end only, the reference's granularity). With N > 0 a
     # killed run resumes mid-epoch at the last saved step, bit-exact:
