@@ -203,3 +203,24 @@ def test_spatial_mesh_does_not_shard_pose_axes():
     assert sharded["depth_gt"].sharding.spec == ("data", "spatial")
     assert sharded["pose_gt"].sharding.spec == ("data",)
     assert sharded["stereo_T_LR"].sharding.spec == ("data",)
+
+
+def test_parallel_grad_accum_runs(dp_parts):
+    """grad_accum_steps composes with the mesh path: the microbatch
+    reshape resharding compiles and the loss matches the no-accum step
+    (BN-free model, SGD-free comparison on the loss metric only)."""
+    data, model, total_loss, batch = dp_parts
+    mesh = make_mesh()
+    sharded = shard_batch(batch, mesh)
+
+    state_a = replicate_state(_fresh_state(model, batch), mesh)
+    step_a = make_parallel_train_step(model, total_loss, mesh)
+    state_a, m_a = step_a(state_a, sharded, jax.random.PRNGKey(0))
+
+    state_b = replicate_state(_fresh_state(model, batch), mesh)
+    step_b = make_parallel_train_step(model, total_loss, mesh,
+                                      grad_accum_steps=2)
+    state_b, m_b = step_b(state_b, shard_batch(batch, mesh),
+                          jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m_b["loss"]), float(m_a["loss"]),
+                               rtol=1e-5)

@@ -96,3 +96,49 @@ def test_frozen_net_not_updated(slice_parts):
         lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)),
         before_d, after_d)
     assert any(jax.tree_util.tree_leaves(leaves_diff))
+
+
+def test_grad_accum_matches_full_batch(slice_parts):
+    """k-microbatch accumulation == one full-batch step for BN-free
+    models (train_step.py grad_accum_steps contract). SGD so the update
+    is linear in the grads (adam's moments would amplify float-order
+    noise past any clean tolerance)."""
+    data, model, _, fresh_state, batch = slice_parts
+    total_loss = loss_factory(data.config_keys(),
+                              {"L1": 0.5, "SSIM": 0.5, "smoothe": 1.0},
+                              cfg.SCALE_WEIGHT_T1, stereo=False,
+                              batch_size=2)
+    import optax
+
+    def sgd_state():
+        return create_train_state(model, batch, optax.sgd(1e-2))
+
+    rng = jax.random.PRNGKey(3)
+    step_full = make_train_step(model, total_loss)
+    step_accum = make_train_step(model, total_loss, grad_accum_steps=2)
+    s_full, m_full = step_full(sgd_state(), batch, rng)
+    s_acc, m_acc = step_accum(sgd_state(), batch, rng)
+
+    np.testing.assert_allclose(float(m_acc["loss"]), float(m_full["loss"]),
+                               rtol=1e-5)
+    for key in m_full:
+        assert key in m_acc, key
+    flat_f = jax.tree_util.tree_leaves_with_path(s_full.params)
+    flat_a = dict(jax.tree_util.tree_leaves_with_path(s_acc.params))
+    for path, leaf in flat_f:
+        np.testing.assert_allclose(np.asarray(flat_a[path]), np.asarray(leaf),
+                                   rtol=2e-4, atol=1e-7,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
+def test_grad_accum_guards(slice_parts):
+    data, model, total_loss_nobs, fresh_state, batch = slice_parts
+    with pytest.raises(ValueError, match="batch_size"):
+        make_train_step(model, total_loss_nobs, grad_accum_steps=2)
+    total_loss = loss_factory(data.config_keys(), {"L1": 1.0},
+                              cfg.SCALE_WEIGHT_T1, stereo=False, batch_size=2)
+    with pytest.raises(ValueError):
+        make_train_step(model, total_loss, grad_accum_steps=0)
+    step = make_train_step(model, total_loss, grad_accum_steps=3, jit=False)
+    with pytest.raises(ValueError, match="divide"):
+        step(fresh_state(), batch, jax.random.PRNGKey(0))

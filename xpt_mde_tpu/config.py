@@ -220,6 +220,13 @@ class Config:
     # pool (0/1 = serial, the reference's behavior); per-drive shard
     # dirs are independent so the output is identical either way
     shard_build_workers: int = 0
+    # gradient accumulation: split each batch into N sequential
+    # microbatches (lax.scan) with ONE optimizer update -- activation
+    # memory drops ~N x, so effective batches beyond HBM (the
+    # reference's high-res batch-4 GPU ceiling) fit one chip. Updates
+    # are exact up to float addition order; BatchNorm stats update per
+    # microbatch (training/train_step.py:make_train_step).
+    grad_accum_steps: int = 1
     # preemption safety: checkpoint the full train state every N steps
     # (0 = epoch-end only, the reference's granularity). With N > 0 a
     # killed run resumes mid-epoch at the last saved step, bit-exact:

@@ -85,7 +85,8 @@ def replicate_state(state, mesh: Mesh):
 def make_parallel_train_step(model, total_loss, mesh: Mesh,
                              augmenter=None,
                              regularize_net: Optional[str] = None,
-                             frozen_nets=()) -> Callable:
+                             frozen_nets=(),
+                             grad_accum_steps: int = 1) -> Callable:
     """Jit the train step over the mesh: batch sharded on ``data``,
     state replicated; XLA inserts psum for the grads over ICI.
 
@@ -99,7 +100,8 @@ def make_parallel_train_step(model, total_loss, mesh: Mesh,
     # body to drift); only the jit shardings differ
     step_body = make_train_step(model, total_loss, augmenter=augmenter,
                                 regularize_net=regularize_net, jit=False,
-                                frozen_nets=frozen_nets)
+                                frozen_nets=frozen_nets,
+                                grad_accum_steps=grad_accum_steps)
     repl = _replicated(mesh)
     # features keep the shardings shard_batch committed them with (data
     # axis always; + height over "spatial" on a 2-D mesh)

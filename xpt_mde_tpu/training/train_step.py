@@ -93,7 +93,8 @@ def _compute_metrics(preds, features, loss, loss_by_type):
 def make_train_step(model, total_loss, augmenter=None,
                     regularize_net: Optional[str] = None,
                     jit: bool = True,
-                    frozen_nets: Sequence[str] = ()) -> Callable:
+                    frozen_nets: Sequence[str] = (),
+                    grad_accum_steps: int = 1) -> Callable:
     """Build the train step (jitted unless ``jit=False`` -- the
     reference's "eager" TRAIN_MODE for step-through debugging,
     config-example.py:255 / train_val.py:12).
@@ -113,15 +114,34 @@ def make_train_step(model, total_loss, augmenter=None,
         probe_frozen_prune.py), so this guarantees the pruning at the
         graph level instead of relying on the compiler, with
         bit-identical updates either way.
+    :param grad_accum_steps: split each batch into this many sequential
+        microbatches (``lax.scan``), summing gradients before ONE
+        optimizer update — activation memory drops ~k× so batch sizes
+        beyond HBM (the reference's high-res batch-4 GPU limit,
+        README.md:12-16) fit a single chip. Every TotalLoss term is
+        sum-over-samples / GLOBAL batch (losses.py:49 semantics), so
+        summed microbatch grads equal the full-batch grads up to float
+        addition order — EXACT for BN-free models (tested). Two known
+        deviations: (a) BatchNorm (pretrained backbones) normalizes by
+        the CURRENT microbatch's statistics in train mode, so
+        activations — and its running stats — see k batches of size
+        batch/k, the standard grad-accum BN caveat; (b) md2cmb* recipes
+        normalize by a batch-GLOBAL valid-pixel count (total.py:152,
+        the reference's count_nonzero quirk, losses.py:324-374), which
+        becomes per-microbatch. Augmentation is applied ONCE to the
+        full batch before the split, preserving the reference's
+        batch-shared crop box (augmentation.py:66-129).
     """
     frozen = set(frozen_nets) - {regularize_net}
+    if grad_accum_steps < 1:
+        raise ValueError(f"grad_accum_steps must be >= 1, got {grad_accum_steps}")
+    if grad_accum_steps > 1 and getattr(total_loss, "batch_size", None) is None:
+        # without a pinned global batch each microbatch loss would be
+        # sum / (batch/k) and the accumulated sum k x too large
+        raise ValueError("grad_accum_steps > 1 requires total_loss built "
+                         "with batch_size = the GLOBAL batch size")
 
-    def train_step(state: TrainState, features: Mapping[str, Any], rng):
-        features = decode_image_features(features)
-        if augmenter is not None:
-            aug_rng, rng = jax.random.split(rng)
-            features = augmenter(dict(features), aug_rng)
-
+    def loss_fn_for(state, features):
         def loss_fn(params):
             if frozen:
                 params = {k: (jax.lax.stop_gradient(v) if k in frozen else v)
@@ -133,14 +153,62 @@ def make_train_step(model, total_loss, augmenter=None,
                 preds["regularize_weights"] = params[regularize_net]
             loss, loss_by_type = total_loss(preds, features)
             return loss, (loss_by_type, new_batch_stats, preds)
+        return loss_fn
 
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    def train_step(state: TrainState, features: Mapping[str, Any], rng):
+        features = decode_image_features(features)
+        if augmenter is not None:
+            aug_rng, rng = jax.random.split(rng)
+            features = augmenter(dict(features), aug_rng)
+
+        grad_fn = jax.value_and_grad(loss_fn_for(state, features),
+                                     has_aux=True)
         (loss, (loss_by_type, new_batch_stats, preds)), grads = grad_fn(state.params)
         state = state.apply_gradients(grads=grads)
         if new_batch_stats is not None:
             state = state.replace(batch_stats=new_batch_stats)
         metrics = _compute_metrics(preds, features, loss, loss_by_type)
         return state, metrics
+
+    def train_step_accum(state: TrainState, features: Mapping[str, Any], rng):
+        features = decode_image_features(features)
+        if augmenter is not None:
+            aug_rng, rng = jax.random.split(rng)
+            features = augmenter(dict(features), aug_rng)
+
+        k = grad_accum_steps
+        batch = next(iter(features.values())).shape[0]
+        if batch % k:
+            raise ValueError(f"batch {batch} must divide by "
+                             f"grad_accum_steps {k}")
+
+        micro = {key: v.reshape((k, batch // k) + v.shape[1:])
+                 for key, v in features.items()}
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+        def body(carry, mfeat):
+            grads_acc, bstats = carry
+            st = state.replace(batch_stats=bstats)
+            grad_fn = jax.value_and_grad(loss_fn_for(st, mfeat), has_aux=True)
+            (loss, (loss_by_type, new_bstats, preds)), grads = grad_fn(
+                state.params)
+            metrics = _compute_metrics(preds, mfeat, loss, loss_by_type)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            return (grads_acc, new_bstats), metrics
+
+        (grads, new_batch_stats), mstack = jax.lax.scan(
+            body, (zero_grads, state.batch_stats), micro)
+        # loss terms are already sum / GLOBAL batch per microbatch -> sum;
+        # quality metrics are per-microbatch means of equal sizes -> mean
+        metrics = {key: (jnp.sum(v) if key == "loss" or key.startswith("loss/")
+                         else jnp.mean(v)) for key, v in mstack.items()}
+        state = state.apply_gradients(grads=grads)
+        if new_batch_stats is not None:
+            state = state.replace(batch_stats=new_batch_stats)
+        return state, metrics
+
+    if grad_accum_steps > 1:
+        train_step = train_step_accum
 
     if not jit:
         return train_step

@@ -142,13 +142,15 @@ class StageRuntime:
                                               replicate_state)
             self.train_step = make_parallel_train_step(
                 self.model, self.total_loss, mesh, augmenter=self.augmenter,
-                regularize_net=reg_net, frozen_nets=frozen)
+                regularize_net=reg_net, frozen_nets=frozen,
+                grad_accum_steps=cfg.grad_accum_steps)
             self._replicate = lambda s: replicate_state(s, mesh)
         else:
             self.train_step = make_train_step(
                 self.model, self.total_loss, augmenter=self.augmenter,
                 regularize_net=reg_net, jit=(cfg.train_mode != "eager"),
-                frozen_nets=frozen)
+                frozen_nets=frozen,
+                grad_accum_steps=cfg.grad_accum_steps)
             self._replicate = lambda s: s
         self.eval_step = make_eval_step(self.model, self.total_loss)
         self.predict_step = make_predict_step(self.model)
