@@ -69,15 +69,7 @@ def convert_efficientnet(keras_model, variant: str = "B0"):
     :return: (params, batch_stats) dicts shaped like
         EfficientNet(variant).init(...)['params' / 'batch_stats']
     """
-    import math
-
-    from xpt_mde_tpu.models.backbones.efficientnet import (_B0_STAGES,
-                                                           _SCALING,
-                                                           round_repeats)
-
     kw = _keras_weight_dict(keras_model)
-    params: dict = {}
-    stats: dict = {}
 
     # input normalization: keras Rescaling(1/255) + Normalization
     # (+ imagenet-only Rescaling(1/sqrt(std)), folded into the variance:
@@ -96,8 +88,31 @@ def convert_efficientnet(keras_model, variant: str = "B0"):
             if scale.ndim == 0 and np.isclose(scale, 1.0 / 255.0):
                 continue  # the standard 0-255 rescale our module applies
             var = var / scale.reshape(3) ** 2
-    stats["input_mean"] = mean
-    stats["input_var"] = var
+    return convert_efficientnet_kw(kw, variant, mean, var)
+
+
+def convert_efficientnet_kw(kw: dict, variant: str = "B0",
+                            input_mean=None, input_var=None):
+    """Weight-dict variant of convert_efficientnet, for checkpoints read
+    straight from a keras H5 file (training/import_reference.py) where no
+    model object exists. ``kw`` is {layer_name: {short_weight_name: arr}}.
+
+    Input normalization falls back to the H5's "normalization" layer
+    weights when present (the TF-2.4 keras EfficientNet saves its
+    preprocessing Normalization's mean/variance/count)."""
+    params: dict = {}
+    stats: dict = {}
+
+    if input_mean is None:
+        norm = kw.get("normalization", {})
+        input_mean = norm.get("mean", np.zeros(3)).reshape(3).astype(np.float32)
+        input_var = norm.get("variance", np.ones(3)).reshape(3).astype(np.float32)
+    stats["input_mean"] = np.asarray(input_mean, np.float32).reshape(3)
+    stats["input_var"] = np.asarray(input_var, np.float32).reshape(3)
+
+    from xpt_mde_tpu.models.backbones.efficientnet import (_B0_STAGES,
+                                                           _SCALING,
+                                                           round_repeats)
 
     # stem
     params["Conv_0"] = _conv(kw, "stem_conv")
@@ -143,7 +158,7 @@ def convert_efficientnet(keras_model, variant: str = "B0"):
     return params, stats
 
 
-def _autoname_map(keras_model) -> dict:
+def _autoname_map(layer_names) -> dict:
     """Map keras auto-named layers (conv2d, conv2d_1, batch_normalization_3,
     ...) to deterministic names by encounter order. The numeric suffixes
     depend on a process-global keras layer counter, so they cannot be used
@@ -151,17 +166,20 @@ def _autoname_map(keras_model) -> dict:
 
     Used for Xception's residual 1x1 convs + BNs, which keras leaves
     unnamed -> our modules call them xres_conv_{i} / xres_bn_{i}.
+
+    :param layer_names: layer names in model order (model.layers or the
+        H5 file's layer_names attribute)
     """
     import re
 
     mapping = {}
     conv_i = bn_i = 0
-    for layer in keras_model.layers:
-        if re.fullmatch(r"conv2d(_\d+)?", layer.name):
-            mapping[layer.name] = f"xres_conv_{conv_i}"
+    for name in layer_names:
+        if re.fullmatch(r"conv2d(_\d+)?", name):
+            mapping[name] = f"xres_conv_{conv_i}"
             conv_i += 1
-        elif re.fullmatch(r"batch_normalization(_\d+)?", layer.name):
-            mapping[layer.name] = f"xres_bn_{bn_i}"
+        elif re.fullmatch(r"batch_normalization(_\d+)?", name):
+            mapping[name] = f"xres_bn_{bn_i}"
             bn_i += 1
     return mapping
 
@@ -179,10 +197,19 @@ def convert_keras_by_name(keras_model):
     :return: (params, batch_stats) dicts for load_into_variables.
     """
     kw = _keras_weight_dict(keras_model)
-    rename = _autoname_map(keras_model)
     # keras 3 names DepthwiseConv2D kernels plain "kernel"; detect by class
     depthwise_layers = {l.name for l in keras_model.layers
                         if type(l).__name__ == "DepthwiseConv2D"}
+    return convert_keras_by_name_kw(kw, [l.name for l in keras_model.layers],
+                                    depthwise_layers)
+
+
+def convert_keras_by_name_kw(kw: dict, layer_order, depthwise_layers=()):
+    """Weight-dict variant of convert_keras_by_name (see
+    training/import_reference.py). TF-2.4 H5 files name depthwise kernels
+    "depthwise_kernel", so ``depthwise_layers`` is only needed for keras-3
+    model objects whose depthwise kernels are saved as plain "kernel"."""
+    rename = _autoname_map(layer_order)
     params: dict = {}
     stats: dict = {}
     for lname, w in kw.items():
@@ -227,6 +254,14 @@ def convert_backbone(keras_model, net_name: str):
     if net_name.startswith("EfficientNetB"):
         return convert_efficientnet(keras_model, net_name[-2:])
     return convert_keras_by_name(keras_model)
+
+
+def convert_backbone_kw(kw: dict, layer_order, net_name: str):
+    """convert_backbone over a raw weight dict (H5-file import path,
+    training/import_reference.py) -- no keras model object needed."""
+    if net_name.startswith("EfficientNetB"):
+        return convert_efficientnet_kw(kw, net_name[-2:])
+    return convert_keras_by_name_kw(kw, layer_order)
 
 
 def load_into_variables(variables, params, batch_stats):
