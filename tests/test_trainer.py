@@ -187,3 +187,40 @@ def test_save_log_survives_empty_history_csv(tmp_path):
     lines = (tmp_path / "history.csv").read_text().strip().splitlines()
     assert lines[0].startswith("epoch")
     assert len(lines) == 2
+
+
+def test_inspect_model_printout(capsys):
+    """inspect_model prints depth/flow quantiles + pose rows at the 3
+    strided steps only (train_val.py:239-264)."""
+    from xpt_mde_tpu.training.trainer import inspect_model
+
+    rng = np.random.RandomState(0)
+    preds = {"depth_ms": [rng.rand(2, 8, 16, 1) * 10 for _ in range(4)],
+             "flow_ms": [rng.randn(2, 4, 8, 16, 2)],
+             "pose": rng.randn(2, 4, 6)}
+    features = {"pose_gt": np.tile(np.eye(4), (2, 4, 1, 1))}
+
+    assert inspect_model(preds, features, step=0, steps_per_epoch=30)
+    out = capsys.readouterr().out
+    for tag in ("depth0", "depth3", "flow0", "pose_pr", "pose_gt"):
+        assert tag in out
+    assert "T_LR_pr" not in out  # no stereo pose in preds
+
+    # stride = 30 // 3 = 10: steps 1..9 are silent, 10 prints
+    assert not inspect_model(preds, features, step=7, steps_per_epoch=30)
+    assert capsys.readouterr().out == ""
+    assert inspect_model(preds, features, step=10, steps_per_epoch=30)
+
+
+@pytest.mark.slow
+def test_inspect_model_in_training(tmp_path, capsys):
+    """cfg.inspect_model=True traces value distributions during the epoch
+    via an extra jitted forward on the inspected batches."""
+    nets = {"depth": "DepthNetBasic", "camera": "PoseNetImproved"}
+    plan = [TrainStage(nets, "synthetic", 1, 1e-4, {"L1": 1.0}, SW, False)]
+    cfg = Config(stereo=False, per_replica_batch=2, compute_dtype="float32",
+                 augment_probs={}, datapath=str(tmp_path), ckpt_name="test01",
+                 training_plan=plan, inspect_model=True)
+    train_by_plan(cfg, synthetic_factory)
+    out = capsys.readouterr().out
+    assert "depth0" in out and "pose_pr" in out

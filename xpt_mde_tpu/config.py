@@ -216,6 +216,9 @@ class Config:
     validation_frames: int = 500
     frames_per_shard: int = 2000
     log_loss: bool = True
+    # value-distribution trace 3x/epoch (train_val.py:239-264); costs one
+    # extra jitted forward at each inspected step, so off by default
+    inspect_model: bool = False
     # dataset conversion: drives build in parallel over a spawn process
     # pool (0/1 = serial, the reference's behavior); per-drive shard
     # dirs are independent so the output is identical either way

@@ -43,6 +43,43 @@ from xpt_mde_tpu.training.train_step import (create_train_state,
 from xpt_mde_tpu.utils.util_class import DurationTime
 
 
+def inspect_model(preds, features, step: int, steps_per_epoch: int) -> bool:
+    """Value-distribution trace 3x per epoch (train_val.py:239-264):
+    quantiles of predicted depth/flow plus pose translations vs GT. The
+    reference gets ``preds`` for free from its eager step; here an extra
+    jitted forward supplies them at the 3 inspected steps only, so the
+    hot loop stays sync-free.
+
+    :return: True when this step was inspected (tested in test_trainer)
+    """
+    stride = max(steps_per_epoch // 3, 1)
+    if step % stride > 0:
+        return False
+    qs = np.arange(0.1, 1, 0.1)
+
+    def quant(name, val):
+        print(name, np.quantile(np.asarray(val), qs))
+
+    print("")
+    if "depth_ms" in preds:
+        quant("depth0 ", preds["depth_ms"][0])
+        quant("depth3 ", preds["depth_ms"][3])
+    if "flow_ms" in preds:
+        quant("flow0  ", preds["flow_ms"][0])
+    if "pose" in preds:
+        pose = np.asarray(preds["pose"])
+        print("pose_pr", pose[0, 0, :3], pose[0, 1, :3])
+    if "pose_gt" in features:
+        gt = np.asarray(features["pose_gt"])
+        print("pose_gt", gt[0, 0, :3, 3], gt[0, 1, :3, 3])
+    if "pose_LR" in preds:
+        lr = np.asarray(preds["pose_LR"])
+        print("T_LR_pr", lr[0, 0, :3], lr[0, 1, :3])
+        gt_lr = np.asarray(features["stereo_T_LR"])
+        print("T_LR_gt", gt_lr[0, :3, 3], gt_lr[0, :3, 3])
+    return True
+
+
 def default_dataset_factory(cfg: Config):
     """Open shard datasets from cfg.datapath_shd with the native reader +
     prefetch thread when available (host IO overlaps device compute)."""
@@ -219,6 +256,12 @@ class StageRuntime:
                     loss = float(metrics["loss"])
                     print_progress(f"  train {step_idx}/{steps} "
                                    f"loss={loss:.4f}")
+                if self.cfg.inspect_model and steps:
+                    stride = max(steps // 3, 1)
+                    if step_idx % stride == 0:
+                        feats = self._to_device(batch)
+                        inspect_model(self.predict_step(self.state, feats),
+                                      feats, step_idx, steps)
         print("")
         if count == 0:
             raise ValueError(
