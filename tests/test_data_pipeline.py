@@ -305,3 +305,34 @@ def test_synthetic_shard_maker(tmp_path):
     assert ex["pose_gt"].shape == (4, 4, 4)
     # exact plane GT survives the pipeline
     assert np.allclose(ex["depth_gt"][ex["depth_gt"] > 0], 10.0, atol=0.5)
+
+
+def test_show_example_viewer(tmp_path):
+    """Headless show_example builds image/image_R/depth panels, saves
+    pngs, and apply_color_map blacks out invalid pixels
+    (tfr_util.py:188-221)."""
+    from xpt_mde_tpu.data.viewer import apply_color_map, show_example
+
+    rng = np.random.RandomState(0)
+    depth = np.zeros((16, 24), np.float32)
+    depth[8:, :] = 25.0
+    example = {
+        "image": rng.randint(0, 255, (5 * 16, 24, 3), np.uint8),
+        "image_R": rng.uniform(-1, 1, (5, 16, 24, 3)).astype(np.float32),
+        "depth_gt": depth,
+        "intrinsic": np.eye(3, dtype=np.float32),
+        "pose_gt": np.tile(np.eye(4, dtype=np.float32), (4, 1, 1)),
+    }
+    panels = show_example(example, wait=-1, print_param=True,
+                          save_dir=tmp_path)
+    assert panels["image"].shape == (80, 24, 3)
+    assert panels["image_R"].shape == (80, 24, 3)  # snippet stacked
+    assert panels["depth"].shape == (16, 24, 3)
+    # invalid (zero) depth pixels are black, valid ones colored
+    assert (panels["depth"][:8] == 0).all()
+    assert panels["depth"][8:].any()
+    for name in ("image", "image_R", "depth"):
+        assert (tmp_path / f"{name}.png").is_file()
+
+    cm = apply_color_map(np.full((4, 4, 1), 50.0))
+    assert cm.shape == (4, 4, 3) and cm.any()
