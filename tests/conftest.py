@@ -23,3 +23,27 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (keras/TF-twin builds, multi-stage "
+             "plan integration) -- the full parity lane")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Fast default lane: tests marked ``slow`` are skipped unless
+    ``--runslow`` (or ``-m slow``) is given. The slow lane carries the
+    keras/TF-twin parity builds and the multi-minute plan-integration
+    tests (~75 of the 89 min the full suite costs cold)."""
+    if config.getoption("--runslow"):
+        return
+    if config.getoption("-m"):
+        return  # explicit marker selection overrides the default skip
+    skip = pytest.mark.skip(reason="slow: needs --runslow (full lane)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

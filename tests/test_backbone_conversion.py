@@ -14,6 +14,10 @@ preprocess_input(raw) to keras — preprocessing parity is covered too.
 import numpy as np
 import pytest
 
+# keras/TF-twin builds dominate suite wall time (~50+ min of the
+# 89-min full run, VERDICT r2 weak #7); full parity lane: --runslow
+pytestmark = pytest.mark.slow
+
 tf = pytest.importorskip("tensorflow")
 
 import jax  # noqa: E402

@@ -10,6 +10,10 @@ moment real weight files are available offline.
 import numpy as np
 import pytest
 
+# keras/TF-twin builds dominate suite wall time (~50+ min of the
+# 89-min full run, VERDICT r2 weak #7); full parity lane: --runslow
+pytestmark = pytest.mark.slow
+
 tf = pytest.importorskip("tensorflow")
 
 import jax  # noqa: E402

@@ -32,18 +32,47 @@ def _texture(height: int, width: int, rng: np.random.RandomState) -> np.ndarray:
 
 
 def _render_plane(texture: np.ndarray, fx: float, cam_x: float,
-                  depth_m: float) -> np.ndarray:
-    """Render the fronto-parallel plane seen from camera x-offset
-    ``cam_x`` (meters): pure horizontal shift by fx * cam_x / depth
-    pixels, sampled exactly through np.interp per row."""
-    shift = fx * cam_x / depth_m
+                  depth_m) -> np.ndarray:
+    """Render the textured surface seen from camera x-offset ``cam_x``
+    (meters): per-row horizontal shift by fx * cam_x / depth(row) pixels,
+    sampled exactly through np.interp per row.
+
+    ``depth_m`` may be a scalar (fronto-parallel plane) or an [H] array
+    of per-row depths (row-banded relief). With pure x translation the
+    rows are independent, so per-row inverse warping stays an EXACT
+    render of the 3-D scene -- no cross-row occlusion can occur."""
     height, width = texture.shape[:2]
+    depth_rows = np.broadcast_to(np.asarray(depth_m, np.float32), (height,))
+    shifts = fx * cam_x / depth_rows
     u = np.arange(width, dtype=np.float32)
     out = np.empty_like(texture)
     for c in range(texture.shape[-1]):
         for v in range(height):
-            out[v, :, c] = np.interp(u + shift, u, texture[v, :, c])
+            out[v, :, c] = np.interp(u + shifts[v], u, texture[v, :, c])
     return out
+
+
+def _depth_profile(height: int, depth_min: float, depth_max: float) -> np.ndarray:
+    """Per-row depth profile: smooth near->far->near sweep so depth
+    varies several-fold inside the Garg crop (rows 0.41H..0.99H) and a
+    constant-depth predictor scores a clearly bad AbsRel."""
+    v = np.linspace(0.0, 2.0 * np.pi, height, dtype=np.float32)
+    t = 0.5 - 0.5 * np.cos(v)  # 0 -> 1 -> 0, smooth
+    return (depth_min + (depth_max - depth_min) * t).astype(np.float32)
+
+
+def _tint_by_inverse_depth(texture: np.ndarray, depth_rows: np.ndarray,
+                           depth_min: float, depth_max: float) -> np.ndarray:
+    """Mix an inverse-depth cue into channel 0 so single-image depth is
+    learnable from local appearance (convnets are translation-invariant;
+    without an appearance cue the net could only read depth off padding
+    position). Keeps output in [-1, 1]."""
+    inv = 1.0 / depth_rows
+    lo, hi = 1.0 / depth_max, 1.0 / depth_min
+    cue = (2.0 * (inv - lo) / (hi - lo) - 1.0).astype(np.float32)
+    out = texture.copy()
+    out[..., 0] = 0.4 * out[..., 0] + 0.6 * cue[:, None]
+    return np.clip(out, -1, 1)
 
 
 class SyntheticDataset:
@@ -52,7 +81,16 @@ class SyntheticDataset:
     def __init__(self, batch_size: int = 2, snippet_len: int = 5,
                  height: int = 32, width: int = 64, num_batches: int = 8,
                  stereo: bool = False, seed: int = 0, depth_m: float = 10.0,
-                 step_m: float = 0.5):
+                 step_m: float = 0.5, varying_depth: bool = False,
+                 vary_motion: bool = False):
+        """``varying_depth`` replaces the constant-depth plane with a
+        row-banded relief (depth sweeps depth_m/2 .. depth_m*2 across
+        rows) whose inverse depth is appearance-coded into channel 0 --
+        the GT-bearing regime the plan-learns checks train on: a
+        constant-depth predictor scores AbsRel ~0.3 there, so metric
+        improvement is non-trivial. ``vary_motion`` scales each
+        example's camera step by a random factor in [0.6, 1.4] so pose
+        regression must read the images, not memorize a constant."""
         self.batch_size = batch_size
         self.snippet_len = snippet_len
         self.height = height
@@ -62,6 +100,13 @@ class SyntheticDataset:
         self.seed = seed
         self.depth_m = depth_m
         self.step_m = step_m
+        self.vary_motion = vary_motion
+        if varying_depth:
+            self.depth_rows = _depth_profile(height, depth_m * 0.5,
+                                             depth_m * 2.0)
+        else:
+            self.depth_rows = np.full((height,), depth_m, np.float32)
+        self.varying_depth = varying_depth
         fx = width * 0.6
         self.intrinsic = np.array(
             [[fx, 0, width / 2], [0, fx, height / 2], [0, 0, 1]], np.float32)
@@ -77,14 +122,21 @@ class SyntheticDataset:
 
     def _render(self, texture: np.ndarray, cam_x: float) -> np.ndarray:
         return _render_plane(texture, self.intrinsic[0, 0], cam_x,
-                             self.depth_m)
+                             self.depth_rows)
 
     def _make_example(self, rng: np.random.RandomState):
         s = self.snippet_len
         texture = _texture(self.height, self.width, rng)
+        if self.varying_depth:
+            texture = _tint_by_inverse_depth(texture, self.depth_rows,
+                                             self.depth_m * 0.5,
+                                             self.depth_m * 2.0)
+        step = self.step_m
+        if self.vary_motion:
+            step = step * rng.uniform(0.6, 1.4)
         # camera positions: sources at [-2, -1, +1, +2] * step, target at 0
         # (target frame LAST in the stack, example_maker.py:119-121)
-        offsets = [(-2 + i) * self.step_m for i in range(s - 1 + 1)]
+        offsets = [(-2 + i) * step for i in range(s - 1 + 1)]
         src_offsets = [o for o in offsets if o != 0.0][: s - 1]
         frames = [self._render(texture, o) for o in src_offsets]
         frames.append(texture)  # target at x=0
@@ -94,7 +146,8 @@ class SyntheticDataset:
         pose_gt = np.tile(np.eye(4, dtype=np.float32), (s - 1, 1, 1))
         for i, o in enumerate(src_offsets):
             pose_gt[i, 0, 3] = -o
-        depth_gt = np.full((self.height, self.width, 1), self.depth_m, np.float32)
+        depth_gt = np.tile(self.depth_rows[:, None, None],
+                           (1, self.width, 1)).astype(np.float32)
         return image5d, depth_gt, pose_gt
 
     def __iter__(self):

@@ -171,13 +171,104 @@ def _corr_forward(cl, cr, offsets, interpret):
     return jnp.transpose(out, (0, 2, 3, 1))  # [B, H, W, n_out]
 
 
+@functools.lru_cache(maxsize=None)
+def _corr_forward_spmd(offsets, interpret):
+    """Batch-partitioned forward (see ops/pallas/spmd.py): under a
+    data-sharded jit each device runs the kernel on its local batch
+    slice instead of GSPMD replicating the opaque custom call."""
+    from xpt_mde_tpu.ops.pallas.spmd import batch_partitioned
+    return batch_partitioned(
+        lambda cl, cr: _corr_forward(cl, cr, offsets, interpret))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _corr_pallas(cl, cr, offsets, interpret):
-    return _corr_forward(cl, cr, offsets, interpret)
+    return _corr_forward_spmd(offsets, interpret)(cl, cr)
 
 
 def _corr_pallas_fwd(cl, cr, offsets, interpret):
-    return _corr_forward(cl, cr, offsets, interpret), (cl, cr)
+    return _corr_forward_spmd(offsets, interpret)(cl, cr), (cl, cr)
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_dcl_spmd(offsets, interpret, dtype_name):
+    """Batch-partitioned dcl kernel call: gf [B,n_out,H,W] +
+    cr_rows [B,n,C,H,Wp] -> dcl (channel-first [B,C,H,W])."""
+    from xpt_mde_tpu.ops.pallas.spmd import batch_partitioned
+
+    def run(gf, cr_rows):
+        batch, _, height, width = gf.shape
+        _, n, channels, _, wp = cr_rows.shape
+        kernel = functools.partial(_corr_grad_cl_kernel, offsets=offsets,
+                                   height=height, width=width,
+                                   channels=channels)
+        params = pltpu.CompilerParams(dimension_semantics=(
+            pltpu.GridDimensionSemantics.PARALLEL,
+            pltpu.GridDimensionSemantics.ARBITRARY))
+        return pl.pallas_call(
+            kernel,
+            grid=(batch, n),
+            in_specs=[
+                pl.BlockSpec((1, n, height, width),
+                             lambda b, j: (b, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, channels, height, wp),
+                             lambda b, j: (b, j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, channels, height, width),
+                                   lambda b, j: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (batch, channels, height, width), jnp.dtype(dtype_name)),
+            scratch_shapes=[pltpu.VMEM((channels, height, width),
+                                       jnp.float32)],
+            compiler_params=params,
+            interpret=interpret,
+        )(gf, cr_rows)
+
+    return batch_partitioned(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_dcr_spmd(offsets, interpret, dtype_name):
+    """Batch-partitioned dcr kernel call: g_rows [B,n,n,H,Wp] +
+    cl_rows [B,n,C,H,Wp] -> dcr (channel-first [B,C,H,W])."""
+    from xpt_mde_tpu.ops.pallas.spmd import batch_partitioned
+    md = max(abs(o) for o in offsets) if offsets else 0
+
+    def run(g_rows, cl_rows):
+        batch, n, channels, height, wp = cl_rows.shape
+        width = wp - 2 * md
+        kernel = functools.partial(_corr_grad_cr_kernel, offsets=offsets,
+                                   height=height, width=width,
+                                   channels=channels)
+        params = pltpu.CompilerParams(dimension_semantics=(
+            pltpu.GridDimensionSemantics.PARALLEL,
+            pltpu.GridDimensionSemantics.ARBITRARY))
+        return pl.pallas_call(
+            kernel,
+            grid=(batch, n),
+            in_specs=[
+                pl.BlockSpec((1, 1, n, height, wp),
+                             lambda b, j: (b, j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, channels, height, wp),
+                             lambda b, j: (b, j, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, channels, height, width),
+                                   lambda b, j: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (batch, channels, height, width), jnp.dtype(dtype_name)),
+            scratch_shapes=[pltpu.VMEM((channels, height, width),
+                                       jnp.float32)],
+            compiler_params=params,
+            interpret=interpret,
+        )(g_rows, cl_rows)
+
+    return batch_partitioned(run)
 
 
 def _corr_pallas_bwd(offsets, interpret, residuals, g):
@@ -201,10 +292,6 @@ def _corr_pallas_bwd(offsets, interpret, residuals, g):
     clf = jnp.transpose(cl, (0, 3, 1, 2))  # [B, C, H, W]
     crf = jnp.transpose(cr, (0, 3, 1, 2))
     gf = jnp.transpose(g, (0, 3, 1, 2))    # [B, n_out, H, W]
-    params = pltpu.CompilerParams(dimension_semantics=(
-        pltpu.GridDimensionSemantics.PARALLEL,
-        pltpu.GridDimensionSemantics.ARBITRARY))
-    scratch = [pltpu.VMEM((channels, height, width), jnp.float32)]
 
     def rows(x_pad, starts):
         # [B, D, Hp, Wp] -> [B, n, D, H, Wp]: the dy_j row window per j,
@@ -213,36 +300,11 @@ def _corr_pallas_bwd(offsets, interpret, residuals, g):
         return jnp.stack([x_pad[:, :, s: s + height] for s in starts],
                          axis=1)
 
-    cl_kernel = functools.partial(_corr_grad_cl_kernel, offsets=offsets,
-                                  height=height, width=width,
-                                  channels=channels)
     cr_pad = jnp.pad(crf, pad)
     # dcl sums g[k] * cr shifted by +offset: row j starts at md+offsets[j]
     cr_rows = rows(cr_pad, [md + o for o in offsets])
-    wp = width + 2 * md
-    dcl = pl.pallas_call(
-        cl_kernel,
-        grid=(batch, n),
-        in_specs=[
-            pl.BlockSpec((1, n, height, width),
-                         lambda b, j: (b, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, channels, height, wp),
-                         lambda b, j: (b, j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1,) + clf.shape[1:],
-                               lambda b, j: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(clf.shape, cl.dtype),
-        scratch_shapes=scratch,
-        compiler_params=params,
-        interpret=interpret,
-    )(gf, cr_rows)
+    dcl = _bwd_dcl_spmd(offsets, interpret, cl.dtype.name)(gf, cr_rows)
 
-    cr_kernel = functools.partial(_corr_grad_cr_kernel, offsets=offsets,
-                                  height=height, width=width,
-                                  channels=channels)
     # dcr sums (g[k] * cl) shifted by -offset: row j starts at
     # md-offsets[j]; g rows are grouped [j, i] = displacement j*n+i
     bwd_starts = [md - o for o in offsets]
@@ -252,25 +314,7 @@ def _corr_pallas_bwd(offsets, interpret, residuals, g):
                bwd_starts[j]: bwd_starts[j] + height]
          for j in range(n)], axis=1)  # [B, n, n, H, Wp]
     cl_rows = rows(jnp.pad(clf, pad), bwd_starts)
-    dcr = pl.pallas_call(
-        cr_kernel,
-        grid=(batch, n),
-        in_specs=[
-            pl.BlockSpec((1, 1, n, height, wp),
-                         lambda b, j: (b, j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, channels, height, wp),
-                         lambda b, j: (b, j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1,) + crf.shape[1:],
-                               lambda b, j: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(crf.shape, cr.dtype),
-        scratch_shapes=scratch,
-        compiler_params=params,
-        interpret=interpret,
-    )(g_rows, cl_rows)
+    dcr = _bwd_dcr_spmd(offsets, interpret, cr.dtype.name)(g_rows, cl_rows)
     return (jnp.transpose(dcl, (0, 2, 3, 1)),
             jnp.transpose(dcr, (0, 2, 3, 1)))
 

@@ -200,42 +200,60 @@ def _prep(image, pixel_coords, valid_mask):
     return img_t, u, v, mask
 
 
+@functools.lru_cache(maxsize=None)
+def _warp_kernel_spmd(use_mask, with_grads, mode, interpret):
+    """Batch-partitioned kernel call (see ops/pallas/spmd.py): under a
+    data-sharded jit each device warps its local batch slice instead of
+    GSPMD replicating the opaque custom call. The mask's leading dim is
+    ``batch`` while the others carry ``batch * numsrc`` -- shards hold
+    whole contiguous numsrc groups (DP divisibility), so the
+    ``b // numsrc`` mask index map stays correct per shard."""
+    from xpt_mde_tpu.ops.pallas.spmd import batch_partitioned
+
+    def run(img_t, u, v, mask):
+        bn, channels, height, width = img_t.shape
+        numsrc = bn // mask.shape[0]
+        ntiles = height * width // _NPIX
+        kernel = functools.partial(
+            _warp_kernel, height=height, width=width, channels=channels,
+            use_mask=use_mask, with_grads=with_grads, mode=mode)
+        slots = _SLOTS if with_grads else 1
+        mask_spec = (pl.BlockSpec((1, 1, 1, _NPIX),
+                                  lambda b, t: (b // numsrc, t, 0, 0))
+                     if use_mask
+                     else pl.BlockSpec((1, 1, 1, _NPIX),
+                                       lambda b, t: (b // numsrc, 0, 0, 0)))
+        # single stacked f32 output [bn, C, nt, slots, NPIX]: slot 0 is
+        # the warped view; slots 1-4 (training) are J_f, J_c, D_f, D_c
+        return pl.pallas_call(
+            kernel,
+            grid=(bn, ntiles),
+            in_specs=[
+                pl.BlockSpec((1, channels, height, width),
+                             lambda b, t: (b, 0, 0, 0)),
+                pl.BlockSpec((1, 1, 1, _NPIX), lambda b, t: (b, t, 0, 0)),
+                pl.BlockSpec((1, 1, 1, _NPIX), lambda b, t: (b, t, 0, 0)),
+                mask_spec,
+            ],
+            out_specs=pl.BlockSpec((1, channels, 1, slots, _NPIX),
+                                   lambda b, t: (b, 0, t, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (bn, channels, ntiles, slots, _NPIX), jnp.float32),
+            interpret=interpret,
+        )(img_t, u, v, mask)
+
+    return batch_partitioned(run)
+
+
 def _call_kernel(image, pixel_coords, valid_mask, with_grads, mode,
                  interpret):
-    batch, numsrc, height, width, channels = image.shape
     use_mask = valid_mask is not None
     img_t, u, v, mask = _prep(image, pixel_coords, valid_mask)
     if mode == "int8":
         img_t = _quant_int8(img_t.astype(jnp.float32))
-    bn = batch * numsrc
-    ntiles = height * width // _NPIX
-    kernel = functools.partial(
-        _warp_kernel, height=height, width=width, channels=channels,
-        use_mask=use_mask, with_grads=with_grads, mode=mode)
     slots = _SLOTS if with_grads else 1
-    mask_spec = (pl.BlockSpec((1, 1, 1, _NPIX),
-                              lambda b, t: (b // numsrc, t, 0, 0))
-                 if use_mask
-                 else pl.BlockSpec((1, 1, 1, _NPIX),
-                                   lambda b, t: (b // numsrc, 0, 0, 0)))
-    # single stacked f32 output [bn, C, nt, slots, NPIX]: slot 0 is the
-    # warped view; slots 1-4 (training) are J_f, J_c, D_f, D_c
-    out = pl.pallas_call(
-        kernel,
-        grid=(bn, ntiles),
-        in_specs=[
-            pl.BlockSpec((1, channels, height, width),
-                         lambda b, t: (b, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 1, _NPIX), lambda b, t: (b, t, 0, 0)),
-            pl.BlockSpec((1, 1, 1, _NPIX), lambda b, t: (b, t, 0, 0)),
-            mask_spec,
-        ],
-        out_specs=pl.BlockSpec((1, channels, 1, slots, _NPIX),
-                               lambda b, t: (b, 0, t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(
-            (bn, channels, ntiles, slots, _NPIX), jnp.float32),
-        interpret=interpret,
-    )(img_t, u, v, mask)
+    out = _warp_kernel_spmd(use_mask, with_grads, mode, interpret)(
+        img_t, u, v, mask)
     return [out[:, :, :, k] for k in range(slots)]
 
 
