@@ -1,24 +1,37 @@
-"""Benchmark: flagship self-supervised train-step throughput on one chip.
+"""Benchmark: train-step throughput per stage on one chip.
 
-Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "images/sec", "vs_baseline": N}
+Prints ONE JSON line. The headline metric stays the flagship rigid
+stage (EfficientNetB5 depth + PoseNetImproved, KITTI low-res 128x512,
+full jitted train step in bfloat16); a ``stages`` dict carries one
+entry per additional stage so non-rigid regressions are visible
+round-over-round (VERDICT r2 weak #5):
 
-Config mirrors the reference's headline training stage (SURVEY.md §6):
-EfficientNetB5 DepthNet + PoseNetImproved, KITTI low-res 128x512 5-frame
-snippets, photometric L1+SSIM + edge-aware smoothness, Adam -- the full
-jitted train step (forward + 4-scale synthesis + losses + backward +
-update) in bfloat16 compute.
+    {"metric": "train_images_per_sec_per_chip_effb5_rigid_128x512",
+     "value": N, "unit": "images/sec", "vs_baseline": N,
+     "stages": {"joint": {...}, "flow": {...}, "stereo": {...},
+                "highres": {...}, "predict": {...}}}
 
-vs_baseline: the reference publishes NO throughput (BASELINE.md), so the
-baseline constant below is an estimate of the TF2.4 single-GPU pipeline
-on 2021 hardware for this exact stage (EfficientNetB5, batch-per-step
-time dominated by eager-ish graph + per-step host sync, ~8 images/sec).
-The BASELINE.json target is >=3x that, i.e. vs_baseline >= 3.0.
+Stage menu (mirrors the reference's training plans, SURVEY.md §6):
+rigid | joint (adds PWC-Net flow + cmb losses, the TRAINING_PLAN_28
+fine-tune rows) | flow (PWC-Net pre-training alone under LOSS_FLOW) |
+stereo (the "MS" recipe behind the published Table-4 numbers) |
+highres (256x1024 rigid at batch 8) | predict (inference forward).
+
+Env knobs: BENCH_STAGE=<name> benches ONE stage and prints the legacy
+single-stage line (probes/profiling use this); BENCH_STAGES=a,b,c
+selects the matrix; BENCH_BATCH/HEIGHT/WIDTH override shapes;
+BENCH_REPEATS windows per stage (best-of, because the shared tunnel
+dips 10-30% under contention).
+
+vs_baseline: the reference publishes NO throughput (BASELINE.md); the
+denominator is a documented estimate of the TF2.4 single-GPU pipeline
+for this stage (~8 img/s).
 """
 
 from __future__ import annotations
 
 import json
+import os as _os
 import time
 
 import jax
@@ -27,25 +40,20 @@ import numpy as np
 
 TF2_GPU_IMAGES_PER_SEC_ESTIMATE = 8.0
 
-import os as _os
 BATCH = int(_os.environ.get("BENCH_BATCH", 8))
 HEIGHT = int(_os.environ.get("BENCH_HEIGHT", 128))
 WIDTH = int(_os.environ.get("BENCH_WIDTH", 512))
-# rigid (depth+pose, the headline) | joint (adds PWC-Net flow + cmb losses,
-# the TRAINING_PLAN_28 fine-tune stage) | flow (PWC-Net pre-training alone
-# under LOSS_FLOW) | stereo (the "MS" training the published Table-4
-# numbers come from: _R views re-run + stereo depth + stereo pose losses)
-# | predict (inference/serving: forward only, the predict_by_plan step)
-STAGE = _os.environ.get("BENCH_STAGE", "rigid")
-# the flow stage carries no EfficientNet depth net -- name it honestly
-MODEL_TAG = "pwcnet" if STAGE == "flow" else "effb5"
+STAGE = _os.environ.get("BENCH_STAGE", "")
+STAGES = _os.environ.get(
+    "BENCH_STAGES", "rigid,joint,flow,stereo,highres,predict").split(",")
 WARMUP_STEPS = 3
 SHORT_STEPS = 3
 MEASURE_STEPS = 20
 REPEATS = int(_os.environ.get("BENCH_REPEATS", 3))
 
 
-def build_stage(stage=STAGE, batch=BATCH, height=HEIGHT, width=WIDTH):
+def build_stage(stage=STAGE or "rigid", batch=BATCH, height=HEIGHT,
+                width=WIDTH):
     """Build (model, total_loss, features, step_kwargs) for a bench stage.
 
     ``step_kwargs`` go straight into ``make_train_step`` (frozen nets,
@@ -107,52 +115,23 @@ def build_stage(stage=STAGE, batch=BATCH, height=HEIGHT, width=WIDTH):
     return model, total_loss, features, step_kwargs
 
 
-def main():
+def _bench_train(stage, batch=BATCH, height=HEIGHT, width=WIDTH,
+                 repeats=REPEATS):
     from xpt_mde_tpu.training import (create_train_state, make_train_step,
                                       optimizer_factory)
 
-    model, total_loss, features, step_kwargs = build_stage()
+    model, total_loss, features, step_kwargs = build_stage(
+        stage, batch, height, width)
     tx = optimizer_factory("adam_constant", 1e-4,
                            frozen_nets=step_kwargs.get("frozen_nets", ()))
     state = create_train_state(model, features, tx)
-
-    if STAGE == "predict":
-        from xpt_mde_tpu.training.train_step import make_predict_step
-        predict = make_predict_step(model)
-
-        def run_predict(n):
-            preds = None
-            for _ in range(n):
-                preds = predict(state, features)
-            float(jnp.sum(preds["depth_ms"][0]))  # true host sync
-        run_predict(WARMUP_STEPS)
-
-        def predict_window():
-            t0 = time.perf_counter()
-            run_predict(SHORT_STEPS)
-            t_short = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            run_predict(SHORT_STEPS + MEASURE_STEPS)
-            t_long = time.perf_counter() - t0
-            return BATCH * MEASURE_STEPS / max(t_long - t_short, 1e-9)
-
-        ips = max(predict_window() for _ in range(REPEATS))
-        print(json.dumps({
-            "metric": f"predict_images_per_sec_per_chip_effb5_"
-                      f"{HEIGHT}x{WIDTH}",
-            "value": round(ips, 2), "unit": "images/sec",
-            "vs_baseline": round(ips / TF2_GPU_IMAGES_PER_SEC_ESTIMATE, 2),
-            "baseline_is_estimate": True,
-        }))
-        return
-
     step = make_train_step(model, total_loss, **step_kwargs)
 
-    # steps serialize through the donated train state; a host fetch of the
-    # final loss is the only reliable sync on the axon remote platform
-    # (block_until_ready can return before the result exists -- verified
-    # r2, VERDICT r1 weak #3). Timing two run lengths and taking the
-    # slope cancels the dispatch + tunnel round-trip constant.
+    # steps serialize through the donated train state; a host fetch of
+    # the final loss is the only reliable sync on the axon remote
+    # platform (block_until_ready can return before the result exists --
+    # verified r2). Timing two run lengths and taking the slope cancels
+    # the dispatch + tunnel round-trip constant.
     step_rng = jax.random.PRNGKey(0)
 
     def run_steps(state, rng, n):
@@ -164,10 +143,9 @@ def main():
         return state, rng
 
     state, step_rng = run_steps(state, step_rng, WARMUP_STEPS)
-    # best of REPEATS windows: the shared tunnel dips 10-30% under
-    # contention, and the least-contended window is the true device rate
+    # best of N windows: the least-contended one is the true device rate
     images_per_sec = 0.0
-    for _ in range(REPEATS):
+    for _ in range(repeats):
         t0 = time.perf_counter()
         state, step_rng = run_steps(state, step_rng, SHORT_STEPS)
         t_short = time.perf_counter() - t0
@@ -177,16 +155,94 @@ def main():
         t_long = time.perf_counter() - t0
         images_per_sec = max(
             images_per_sec,
-            BATCH * MEASURE_STEPS / max(t_long - t_short, 1e-9))
+            batch * MEASURE_STEPS / max(t_long - t_short, 1e-9))
+    return images_per_sec
+
+
+def _bench_predict(batch=BATCH, height=HEIGHT, width=WIDTH,
+                   repeats=REPEATS):
+    from xpt_mde_tpu.training import create_train_state, optimizer_factory
+    from xpt_mde_tpu.training.train_step import make_predict_step
+
+    model, _, features, _ = build_stage("rigid", batch, height, width)
+    tx = optimizer_factory("adam_constant", 1e-4)
+    state = create_train_state(model, features, tx)
+    predict = make_predict_step(model)
+
+    def run_predict(n):
+        preds = None
+        for _ in range(n):
+            preds = predict(state, features)
+        float(jnp.sum(preds["depth_ms"][0]))  # true host sync
+
+    run_predict(WARMUP_STEPS)
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run_predict(SHORT_STEPS)
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run_predict(SHORT_STEPS + MEASURE_STEPS)
+        t_long = time.perf_counter() - t0
+        best = max(best, batch * MEASURE_STEPS / max(t_long - t_short, 1e-9))
+    return best
+
+
+def _stage_entry(stage):
+    """(metric_name, images_per_sec) for one stage of the matrix."""
+    if stage == "predict":
+        ips = _bench_predict()
+        return f"predict_images_per_sec_per_chip_effb5_{HEIGHT}x{WIDTH}", ips
+    if stage == "highres":
+        # the reference's high-res config at batch 8 (its GPU ceiling
+        # was 4; v5e fits 8 and is 56% faster per image -- CLAUDE.md)
+        ips = _bench_train("rigid", batch=8, height=256, width=1024,
+                           repeats=max(REPEATS - 1, 1))
+        return "train_images_per_sec_per_chip_effb5_rigid_256x1024", ips
+    tag = "pwcnet" if stage == "flow" else "effb5"
+    ips = _bench_train(stage,
+                       repeats=REPEATS if stage == "rigid"
+                       else max(REPEATS - 1, 1))
+    return (f"train_images_per_sec_per_chip_{tag}_{stage}_"
+            f"{HEIGHT}x{WIDTH}", ips)
+
+
+def main():
+    if STAGE:
+        # legacy single-stage mode (probes, BENCH_STAGE=... runs)
+        metric, ips = _stage_entry(STAGE)
+        print(json.dumps({
+            "metric": metric, "value": round(ips, 2), "unit": "images/sec",
+            "vs_baseline": round(ips / TF2_GPU_IMAGES_PER_SEC_ESTIMATE, 2),
+            "baseline_is_estimate": True,
+        }))
+        return
+
+    stages = {}
+    headline = None
+    for stage in [s.strip() for s in STAGES if s.strip()]:
+        try:
+            metric, ips = _stage_entry(stage)
+            entry = {"metric": metric, "value": round(ips, 2),
+                     "unit": "images/sec"}
+        except Exception as exc:  # a broken stage must not hide the rest
+            entry = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+        if stage == "rigid":
+            headline = entry
+        else:
+            stages[stage] = entry
+    if headline is None or "error" in headline:
+        raise SystemExit(f"rigid stage failed: {headline}")
     print(json.dumps({
-        "metric": f"train_images_per_sec_per_chip_{MODEL_TAG}_{STAGE}_"
-                  f"{HEIGHT}x{WIDTH}",
-        "value": round(images_per_sec, 2),
+        "metric": headline["metric"],
+        "value": headline["value"],
         "unit": "images/sec",
         # the reference publishes no throughput; denominator is our
         # documented TF2.4-GPU estimate (see module docstring)
-        "vs_baseline": round(images_per_sec / TF2_GPU_IMAGES_PER_SEC_ESTIMATE, 2),
+        "vs_baseline": round(
+            headline["value"] / TF2_GPU_IMAGES_PER_SEC_ESTIMATE, 2),
         "baseline_is_estimate": True,
+        "stages": stages,
     }))
 
 
