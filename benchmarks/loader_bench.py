@@ -96,8 +96,20 @@ def main():
         rate_raw = measure(raw, n_batches)
         print(f"raw uint8 + prefetch(2): {rate_raw:8.1f} img/s"
               f"  (device decodes in-step)")
-        print(f"device demand (rigid b8 r2): ~286 img/s -> headroom "
-              f"{max(rate_pref, rate_raw) / 286.0:.1f}x")
+
+        # multi-worker raw path: must outpace a v5e-8 DP pod
+        # (8 x ~290 img/s rigid; VERDICT r2 weak #6)
+        from xpt_mde_tpu.data.native_loader import make_loader
+        best_mw = 0.0
+        for workers in (2, 4, 8):
+            mw = make_loader(shard_dir, BATCH, SNIPPET, shuffle=True,
+                             seed=0, raw_images=True, workers=workers)
+            rate_mw = measure(mw, n_batches)
+            best_mw = max(best_mw, rate_mw)
+            print(f"raw uint8 x {workers} workers: {rate_mw:8.1f} img/s")
+        print(f"device demand (rigid b8 r2): ~286 img/s/chip -> "
+              f"1-chip headroom {rate_raw / 286.0:.1f}x, "
+              f"8-chip DP coverage {best_mw / (8 * 286.0) * 100:.0f}%")
 
 
 if __name__ == "__main__":

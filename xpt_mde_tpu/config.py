@@ -223,6 +223,16 @@ class Config:
     # pool (0/1 = serial, the reference's behavior); per-drive shard
     # dirs are independent so the output is identical either way
     shard_build_workers: int = 0
+    # input pipeline: batches assembled on N threads (order-preserving;
+    # the delivered stream is identical to 1). One thread feeds one chip
+    # with ~2.5x headroom; raise to 4-8 for multi-chip DP hosts
+    # (benchmarks/loader_bench.py measures the scaling)
+    loader_workers: int = 1
+    # predict_by_plan host-memory budget: accumulated predictions flush
+    # to part files past this size, so a high-res test split (a few
+    # thousand 256x1024 frames of image+depth+gt) never exceeds host
+    # RAM (evaluate_main.predict_dataset_chunked)
+    predict_flush_mb: int = 2048
     # gradient accumulation: split each batch into N sequential
     # microbatches (lax.scan) with ONE optimizer update -- activation
     # memory drops ~N x, so effective batches beyond HBM (the

@@ -96,7 +96,8 @@ def default_dataset_factory(cfg: Config):
                            shuffle=(split == "train"),
                            process_index=jax.process_index(),
                            process_count=jax.process_count(),
-                           raw_images=True)
+                           raw_images=True,
+                           workers=cfg.loader_workers)
     return factory
 
 
