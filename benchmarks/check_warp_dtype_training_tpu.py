@@ -1,0 +1,107 @@
+"""Bound the int8 warp default's effect on TRAINING (VERDICT r2 weak #4).
+
+The Pallas warp's int8 mode is exact for uint8-grid pixel values but
+carries <= 1/255 sampling error on augmented frames -- and augmented
+frames are the training distribution. This script trains the flagship
+rigid stage twice on identical synthetic data + identical augmentation
+rng -- once with warp mode "exact" (3-term bf16 split, ~1e-7), once with
+the default "int8" -- and reports how far the loss curves and end-state
+depth/pose metrics diverge. Run on the TPU chip:
+
+    python benchmarks/check_warp_dtype_training_tpu.py
+
+Context: ops/pallas/warp.py:106-120 (quantization), training default
+Config.warp_kernel="pallas"; the semantics being approximated are
+/root/reference/model/synthesize/bilinear_interp.py:34-147.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+STEPS = int(__import__("os").environ.get("WARP_CHECK_STEPS", 300))
+LOG_EVERY = 25
+BATCH, HEIGHT, WIDTH = 8, 128, 384
+
+
+def build():
+    from xpt_mde_tpu import config as cfg
+    from xpt_mde_tpu.data import SyntheticDataset
+    from xpt_mde_tpu.losses import loss_factory
+    from xpt_mde_tpu.models import ModelFactory
+
+    data = SyntheticDataset(batch_size=BATCH, height=HEIGHT, width=WIDTH,
+                            num_batches=6, varying_depth=True,
+                            vary_motion=True, seed=0)
+    batches = [{k: jnp.asarray(v) for k, v in b.items()} for b in data]
+    model = ModelFactory(data.config_keys(),
+                         {"depth": "EfficientNetB5",
+                          "camera": "PoseNetImproved"},
+                         stereo=False, compute_dtype="bfloat16").get_model()
+    total_loss = loss_factory(data.config_keys(),
+                              {"L1": 0.5, "SSIM": 0.5, "smoothe": 1.0},
+                              cfg.SCALE_WEIGHT_T1, stereo=False,
+                              batch_size=BATCH)
+    return batches, model, total_loss
+
+
+def train_once(mode: str, batches, model, total_loss) -> dict:
+    from xpt_mde_tpu.ops import warp as warp_ops
+    from xpt_mde_tpu.training import (augmentation_factory,
+                                      create_train_state, make_train_step,
+                                      optimizer_factory)
+
+    warp_ops.set_const_src_pallas(True, mode=mode)
+    augmenter = augmentation_factory(
+        {"CropAndResize": 0.3, "HorizontalFlip": 0.3, "ColorJitter": 0.3})
+    tx = optimizer_factory("adam_constant", 1e-4)
+    state = create_train_state(model, batches[0], tx)
+    step = make_train_step(model, total_loss, augmenter=augmenter)
+
+    losses, abs_rels = [], []
+    rng = jax.random.PRNGKey(7)
+    t0 = time.time()
+    for i in range(STEPS):
+        sub = jax.random.fold_in(rng, i)  # identical stream across modes
+        state, metrics = step(state, batches[i % len(batches)], sub)
+        if (i + 1) % LOG_EVERY == 0:
+            losses.append(float(metrics["loss"]))
+            abs_rels.append(float(metrics["depth_abs_rel"]))
+            print(f"  [{mode}] step {i + 1}: loss={losses[-1]:.5f} "
+                  f"abs_rel={abs_rels[-1]:.5f} ({time.time() - t0:.0f}s)",
+                  flush=True)
+    return {"losses": losses, "abs_rels": abs_rels}
+
+
+def main():
+    batches, model, total_loss = build()
+    runs = {mode: train_once(mode, batches, model, total_loss)
+            for mode in ("exact", "int8")}
+    la = np.array(runs["exact"]["losses"])
+    lb = np.array(runs["int8"]["losses"])
+    ra = np.array(runs["exact"]["abs_rels"])
+    rb = np.array(runs["int8"]["abs_rels"])
+    out = {
+        "steps": STEPS,
+        "max_rel_loss_diff": float(np.max(np.abs(la - lb)
+                                          / np.maximum(np.abs(la), 1e-9))),
+        "final_loss_exact": float(la[-1]),
+        "final_loss_int8": float(lb[-1]),
+        "final_abs_rel_exact": float(ra[-1]),
+        "final_abs_rel_int8": float(rb[-1]),
+        "final_abs_rel_diff": float(abs(ra[-1] - rb[-1])),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

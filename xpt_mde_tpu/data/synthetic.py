@@ -82,7 +82,7 @@ class SyntheticDataset:
                  height: int = 32, width: int = 64, num_batches: int = 8,
                  stereo: bool = False, seed: int = 0, depth_m: float = 10.0,
                  step_m: float = 0.5, varying_depth: bool = False,
-                 vary_motion: bool = False):
+                 vary_motion: bool = False, baseline_m: float = 0.3):
         """``varying_depth`` replaces the constant-depth plane with a
         row-banded relief (depth sweeps depth_m/2 .. depth_m*2 across
         rows) whose inverse depth is appearance-coded into channel 0 --
@@ -101,6 +101,7 @@ class SyntheticDataset:
         self.depth_m = depth_m
         self.step_m = step_m
         self.vary_motion = vary_motion
+        self.baseline_m = baseline_m
         if varying_depth:
             self.depth_rows = _depth_profile(height, depth_m * 0.5,
                                              depth_m * 2.0)
@@ -166,7 +167,7 @@ class SyntheticDataset:
                 "pose_gt": np.stack(poses),
             }
             if self.stereo:
-                baseline = 0.3
+                baseline = self.baseline_m
                 # right camera = left camera shifted by +baseline; with a
                 # fronto-parallel plane the right view is an exact re-render
                 # of each left frame
