@@ -12,17 +12,26 @@ whose net groups CHANGE across rows, driven by the real trainer
 real evaluation stack (predict_dataset + Eigen metrics + snippet pose
 errors).
 
-Used by tests/test_plan_learns.py (CPU, asserts metrics improve and the
-flownet handoff is byte-exact) and benchmarks/check_plan_learns_tpu.py
-(same plan on the chip, bfloat16 + Pallas kernels, prints the metric
-trajectory).
+Measured learning curve (TPU, rigid stage, 32x64, batch 8, lr 3e-4,
+Exponential activation): held-out AbsRel 0.533 -> 0.19 at 250 steps ->
+0.045 at 500 -> 0.009 at 2000; scale-aligned trajectory error 1.07 ->
+0.02 at 250 steps. The depth activation here is the reference's
+"Exponential" option (model_factory.py:141-145): it initializes at
+~10 m -- inside the synthetic scene's 5..20 m depth range -- where the
+default InverseSigmoid initializes at ~2 m and measurably rails to its
+sigmoid-saturated extremes (0.99/100 m) on this tiny world before
+structure can emerge (out-of-view warps produce black pixels with zero
+depth gradient, making the rails absorbing).
+
+Used by tests/test_plan_learns.py (CPU slow lane, asserts metrics
+improve and the flownet handoff is byte-exact) and
+benchmarks/check_plan_learns_tpu.py (the same plan on the chip, longer,
+prints the metric trajectory).
 """
 
 from __future__ import annotations
 
 from pathlib import Path
-
-import numpy as np
 
 from xpt_mde_tpu.config import (LOSS_FLOW, SCALE_WEIGHT_T1, Config,
                                 TrainStage)
@@ -31,40 +40,55 @@ RIGID_NETS = {"depth": "DepthNetBasic", "camera": "PoseNetBasic"}
 FLOW_NETS = {"flow": "PWCNet"}
 JOINT_NETS = {**RIGID_NETS, **FLOW_NETS}
 
-# smoothness kept small: the synthetic relief has real depth gradients
-RECIPE_RIGID = {"L1": 0.5, "SSIM": 0.5, "smoothe": 0.1}
+RECIPE_RIGID = {"L1": 0.5, "SSIM": 0.5, "smoothe": 0.5}
 RECIPE_FLOW = {"flowL2": LOSS_FLOW["flowL2"], "flow_reg": LOSS_FLOW["flow_reg"]}
-RECIPE_JOINT = {"cmbL1": 5.0, "cmbSSIM": 0.5, "smoothe": 0.1}
+RECIPE_JOINT = {"cmbL1": 5.0, "cmbSSIM": 0.5, "smoothe": 0.5}
+
+# rigid trains at 32x64 (fast on the 1-core CI host); flow/joint need
+# PWC-Net's minimum 64x128 (6 stride-2 pyramid levels)
+RIGID_SIZE = (32, 64)
+FLOW_SIZE = (64, 128)
 
 
 def miniature_plan(rigid_epochs: int, flow_epochs: int, joint_epochs: int,
-                   lr: float = 1e-3) -> list[TrainStage]:
+                   lr: float = 3e-4) -> list[TrainStage]:
     """The plan-28 mechanic at minimum viable size: net groups change
     across rows exactly like config-example.py:128-141 (rigid rows ->
     a flow row -> joint rows whose flownet restores from the flow row's
     checkpoint and freezes -- trainer.StageRuntime applies the freeze,
-    checkpoint.restore_params the per-net handoff)."""
+    checkpoint.restore_params the per-net handoff). Later stages step
+    the learning rate down like the reference plan does."""
     sw = SCALE_WEIGHT_T1
     return [
-        TrainStage(RIGID_NETS, "synthetic", rigid_epochs, lr,
+        TrainStage(RIGID_NETS, "synthetic_small", rigid_epochs, lr,
                    RECIPE_RIGID, sw, True),
-        TrainStage(FLOW_NETS, "synthetic", flow_epochs, lr * 0.1,
+        TrainStage(FLOW_NETS, "synthetic", flow_epochs, lr * 0.3,
                    RECIPE_FLOW, sw, True),
         TrainStage(JOINT_NETS, "synthetic", joint_epochs, lr * 0.1,
                    RECIPE_JOINT, sw, True),
     ]
 
 
-def synthetic_factory(height: int = 64, width: int = 128,
-                      train_batches: int = 6, val_batches: int = 2):
+def make_config(datapath, plan, batch: int = 4) -> Config:
+    """Config for the miniature plan; Exponential depth activation (see
+    module docstring for the measured reason)."""
+    return Config(stereo=False, per_replica_batch=batch,
+                  compute_dtype="float32", augment_probs={},
+                  depth_activation="Exponential",
+                  datapath=str(datapath), ckpt_name="mini_plan",
+                  training_plan=plan)
+
+
+def synthetic_factory(train_batches: int = 6, val_batches: int = 2):
     """dataset_factory for train_by_plan over the GT-bearing renderer;
     the val split renders held-out textures/motions (different seed)."""
     from xpt_mde_tpu.data import SyntheticDataset
 
     def factory(dataset_name: str, split: str, batch_size: int):
         train = split == "train"
+        h, w = RIGID_SIZE if dataset_name == "synthetic_small" else FLOW_SIZE
         return SyntheticDataset(
-            batch_size=batch_size, height=height, width=width,
+            batch_size=batch_size, height=h, width=w,
             num_batches=train_batches if train else val_batches,
             varying_depth=True, vary_motion=True,
             seed=0 if train else 99)
@@ -87,8 +111,8 @@ def evaluate_checkpoint(cfg: Config, nets, val_data,
                                                  make_predict_step)
     from xpt_mde_tpu.training.optimizers import optimizer_factory
 
-    model = ModelFactory(val_data.config_keys(), nets, stereo=False,
-                         depth_activation=cfg.depth_activation,
+    model = ModelFactory(val_data.config_keys(), nets,
+                         cfg.depth_activation, stereo=False,
                          compute_dtype=cfg.compute_dtype).get_model()
     batch0 = {k: jnp.asarray(v) for k, v in next(iter(val_data)).items()}
     state = create_train_state(model, batch0,
@@ -109,6 +133,62 @@ def evaluate_checkpoint(cfg: Config, nets, val_data,
                     "trj_rel_err": float(pose[1]),
                     "rot_err": float(pose[2])})
     return out
+
+
+def evaluate_flow_epe(cfg: Config, val_data, restore: bool = True) -> float:
+    """Mean end-point error of the finest predicted flow against the
+    synthetic world's ANALYTIC ground-truth flow.
+
+    DIAGNOSTIC, not a pass/fail metric: photometric flow training on
+    this low-texture world is ill-posed wrt true flow -- measured
+    on-chip, 4000 flowL2 steps drive the photometric loss 0.34 -> 0.08,
+    BELOW the analytic GT flow's own 0.18 (the net also fits
+    interpolation/border artifacts), while EPE drifts 1.48 -> 1.7. The
+    reference's flow training is the same photometric objective and
+    carries the same property.
+
+    The renderer's geometry gives exact flow: target pixel (u, v) finds
+    its match in source i at u - fx*o_i/d(v) (pure-x motion over the
+    row-banded relief), and the loss-side convention samples at
+    grid - flow (ops/flow_warp.py:18-32), so gt_flow_u = fx*o_i/d(v),
+    gt_flow_v = 0 -- with o_i read back from pose_gt and d from
+    depth_gt. flow_ms[0] lives at 1/4 resolution: coordinates (and so
+    flow) scale by 1/4.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xpt_mde_tpu.models import ModelFactory
+    from xpt_mde_tpu.training.checkpoint import CheckpointManager
+    from xpt_mde_tpu.training.train_step import (create_train_state,
+                                                 make_predict_step)
+    from xpt_mde_tpu.training.optimizers import optimizer_factory
+
+    model = ModelFactory(val_data.config_keys(), FLOW_NETS,
+                         stereo=False,
+                         compute_dtype=cfg.compute_dtype).get_model()
+    batch0 = {k: jnp.asarray(v) for k, v in next(iter(val_data)).items()}
+    state = create_train_state(model, batch0,
+                               optimizer_factory("adam_constant", 1e-4))
+    if restore:
+        ckpt_dir = Path(cfg.datapath_ckp) / cfg.ckpt_name
+        state, loaded = CheckpointManager(ckpt_dir).restore_params(state)
+        if not loaded:
+            raise FileNotFoundError(f"no flownet under {ckpt_dir}")
+    predict = make_predict_step(model)
+
+    epes = []
+    for batch in val_data:
+        feats = {k: jnp.asarray(v) for k, v in batch.items()}
+        flow = np.asarray(predict(state, feats)["flow_ms"][0])  # [B,N,h,w,2]
+        fx = float(np.asarray(batch["intrinsic"])[0, 0, 0]) / 4.0
+        offsets = -np.asarray(batch["pose_gt"])[:, :, 0, 3]     # [B, N]
+        depth_rows = np.asarray(batch["depth_gt"])[:, ::4, 0, 0]  # [B, h]
+        gt_u = (fx * offsets[:, :, None]
+                / depth_rows[:, None, :])                        # [B, N, h]
+        err_u = flow[..., 0] - gt_u[..., None]
+        epes.append(np.mean(np.sqrt(err_u ** 2 + flow[..., 1] ** 2)))
+    return float(np.mean(epes))
 
 
 def net_checkpoint_bytes(cfg: Config, net: str, suffix: str) -> bytes:
