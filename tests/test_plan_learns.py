@@ -4,8 +4,8 @@ with net groups CHANGING across rows — run through the real plan driver
 on GT-bearing synthetic data, asserting that
 
 - held-out depth AbsRel and scale-aligned trajectory error CLEARLY
-  improve over the untrained init (measured on TPU: 0.53 -> 0.19 AbsRel
-  at 250 steps; the CI thresholds leave margin),
+  improve over the untrained init (this exact config measured on-chip:
+  AbsRel 0.533 -> 0.113, trajectory error 1.18 -> 0.015 at 360 steps),
 - the flow stage leaves depth/pose weights untouched,
 - the joint stage restores the flownet from the flow stage's checkpoint
   and keeps it frozen (byte-exact), while continuing to train depth —
@@ -28,22 +28,24 @@ from xpt_mde_tpu.training.trainer import train_by_plan
 
 pytestmark = pytest.mark.slow
 
-# batch-4 learning curve (TPU, 32x64, lr 3e-4, Exponential): AbsRel
-# 0.53 -> 0.68 transient at ~190 steps (overshoot) -> 0.21 at ~370 ->
-# 0.06 at ~560 -> 0.02 at ~940; 46 epochs x 12 batches = 552 steps puts
-# the halving assertion well past the transient with ~4x margin
-RIGID_EPOCHS = int(os.environ.get("XPT_MINIPLAN_RIGID_EPOCHS", 46))
+# budget validated on-chip THROUGH THIS EXACT TRAINER CONFIG (batch 8,
+# 12 batches/epoch, lr 3e-4, Exponential): held-out AbsRel 0.533 ->
+# 0.225 at 264 steps -> 0.113 at 360 -> 0.104 at 480, monotone; batch 4
+# oscillates (0.30 at 552 steps, 0.48 at 720) and is NOT used. TPU ep46
+# reproduced a CPU run of the same config within 0.008 -- the curve is
+# platform-stable, so the 2x threshold carries ~2.4x margin here.
+RIGID_EPOCHS = int(os.environ.get("XPT_MINIPLAN_RIGID_EPOCHS", 30))
 FLOW_EPOCHS = 1
 JOINT_EPOCHS = 1
 
 
 def test_miniature_plan_learns(tmp_path):
     plan = mp.miniature_plan(RIGID_EPOCHS, FLOW_EPOCHS, JOINT_EPOCHS)
-    cfg = mp.make_config(tmp_path, plan, batch=4)
+    cfg = mp.make_config(tmp_path, plan, batch=8)
     factory = mp.synthetic_factory(train_batches=12, val_batches=1)
 
     def val_set(size):
-        return SyntheticDataset(batch_size=4, height=size[0], width=size[1],
+        return SyntheticDataset(batch_size=8, height=size[0], width=size[1],
                                 num_batches=1, varying_depth=True,
                                 vary_motion=True, seed=99)
 
@@ -55,9 +57,9 @@ def test_miniature_plan_learns(tmp_path):
     train_by_plan(cfg, factory)
     after_rigid = mp.evaluate_checkpoint(cfg, mp.RIGID_NETS,
                                          val_set(mp.RIGID_SIZE))
-    # measured on-chip at this budget: abs_rel ~0.06 (an ~8x drop) and
-    # trj_rel ~0.01 (~100x); the 2x thresholds leave wide margin for
-    # CPU-vs-TPU numerics and seed-to-seed training chaos
+    # measured on-chip at this budget: abs_rel 0.113 (a 4.7x drop) and
+    # trj_rel 0.015 (~80x); the 2x thresholds leave margin for
+    # CPU-vs-TPU numerics
     assert after_rigid["abs_rel"] < 0.5 * init["abs_rel"], (init, after_rigid)
     assert after_rigid["trj_rel_err"] < 0.5 * init["trj_rel_err"], (
         init, after_rigid)
