@@ -21,17 +21,27 @@ Env knobs: BENCH_STAGE=<name> benches ONE stage and prints the legacy
 single-stage line (probes/profiling use this); BENCH_STAGES=a,b,c
 selects the matrix; BENCH_BATCH/HEIGHT/WIDTH override shapes;
 BENCH_REPEATS windows per stage (best-of, because the shared tunnel
-dips 10-30% under contention).
+dips 10-30% under contention); BENCH_DEADLINE_S wall-clock budget
+(default 1380 s, 0 disables): when it trips, the stage loop stops and
+whatever is already measured is printed (VERDICT r3 #1 -- the r3
+six-stage matrix compiled ~6 programs through the slow remote compile
+service and timed out the driver, leaving NO artifact). A persistent
+XLA compilation cache (.cache/jax_compile, verified working on the
+axon TPU backend) makes warm reruns compile-free.
 
 vs_baseline: the reference publishes NO throughput (BASELINE.md); the
 denominator is a documented estimate of the TF2.4 single-GPU pipeline
-for this stage (~8 img/s).
+for this stage (~8 img/s). Stage entries additionally carry
+flops_per_step / tf_per_sec / mfu from XLA's cost analysis against the
+v5e bf16 peak (197 TF/s) so "at the floor" is a tracked number
+(VERDICT r3 weak #3).
 """
 
 from __future__ import annotations
 
 import json
 import os as _os
+import signal
 import time
 
 import jax
@@ -39,6 +49,7 @@ import jax.numpy as jnp
 import numpy as np
 
 TF2_GPU_IMAGES_PER_SEC_ESTIMATE = 8.0
+V5E_PEAK_BF16_TFS = 197.0
 
 BATCH = int(_os.environ.get("BENCH_BATCH", 8))
 HEIGHT = int(_os.environ.get("BENCH_HEIGHT", 128))
@@ -50,6 +61,42 @@ WARMUP_STEPS = 3
 SHORT_STEPS = 3
 MEASURE_STEPS = 20
 REPEATS = int(_os.environ.get("BENCH_REPEATS", 3))
+DEADLINE_S = float(_os.environ.get("BENCH_DEADLINE_S", 1380))
+T_START = time.time()
+
+
+def _setup_compile_cache():
+    """Persistent XLA compilation cache so only the first-ever run pays
+    the remote compile service; verified to hit on the axon TPU backend.
+    Keyed implicitly by backend+program, shared across rounds and with
+    the benchmarks/check_*.py scripts."""
+    from xpt_mde_tpu.utils.compile_cache import enable
+    enable()
+
+
+class _Deadline(Exception):
+    pass
+
+
+def _install_deadline_handlers(partial_emit):
+    """SIGALRM bounds each stage at the remaining budget; SIGTERM (what
+    ``timeout`` sends) emits the partial result line before dying, so
+    even a driver-side kill leaves a parseable artifact tail."""
+    def on_alarm(signum, frame):
+        raise _Deadline()
+
+    def on_term(signum, frame):
+        partial_emit()
+        _os._exit(1)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.signal(signal.SIGTERM, on_term)
+
+
+def _time_left() -> float:
+    if DEADLINE_S <= 0:
+        return float("inf")
+    return DEADLINE_S - (time.time() - T_START)
 
 
 def build_stage(stage=STAGE or "rigid", batch=BATCH, height=HEIGHT,
@@ -115,6 +162,27 @@ def build_stage(stage=STAGE or "rigid", batch=BATCH, height=HEIGHT,
     return model, total_loss, features, step_kwargs
 
 
+def _cost_analysis(jitted, *args):
+    """flops per call from XLA's client-side cost analysis; None when
+    the backend can't provide one (never fatal to the bench)."""
+    try:
+        cost = jitted.lower(*args).cost_analysis()
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _perf_fields(ips, batch, flops):
+    """Derived per-stage throughput fields (VERDICT r3 weak #3)."""
+    if not flops:
+        return {}
+    tfs = flops * ips / batch / 1e12
+    return {"flops_per_step": flops,
+            "tf_per_sec": round(tfs, 2),
+            "mfu": round(tfs / V5E_PEAK_BF16_TFS, 4)}
+
+
 def _bench_train(stage, batch=BATCH, height=HEIGHT, width=WIDTH,
                  repeats=REPEATS):
     from xpt_mde_tpu.training import (create_train_state, make_train_step,
@@ -126,6 +194,7 @@ def _bench_train(stage, batch=BATCH, height=HEIGHT, width=WIDTH,
                            frozen_nets=step_kwargs.get("frozen_nets", ()))
     state = create_train_state(model, features, tx)
     step = make_train_step(model, total_loss, **step_kwargs)
+    flops = _cost_analysis(step, state, features, jax.random.PRNGKey(0))
 
     # steps serialize through the donated train state; a host fetch of
     # the final loss is the only reliable sync on the axon remote
@@ -156,7 +225,7 @@ def _bench_train(stage, batch=BATCH, height=HEIGHT, width=WIDTH,
         images_per_sec = max(
             images_per_sec,
             batch * MEASURE_STEPS / max(t_long - t_short, 1e-9))
-    return images_per_sec
+    return images_per_sec, _perf_fields(images_per_sec, batch, flops)
 
 
 def _bench_predict(batch=BATCH, height=HEIGHT, width=WIDTH,
@@ -168,6 +237,7 @@ def _bench_predict(batch=BATCH, height=HEIGHT, width=WIDTH,
     tx = optimizer_factory("adam_constant", 1e-4)
     state = create_train_state(model, features, tx)
     predict = make_predict_step(model)
+    flops = _cost_analysis(predict, state, features)
 
     def run_predict(n):
         preds = None
@@ -185,55 +255,39 @@ def _bench_predict(batch=BATCH, height=HEIGHT, width=WIDTH,
         run_predict(SHORT_STEPS + MEASURE_STEPS)
         t_long = time.perf_counter() - t0
         best = max(best, batch * MEASURE_STEPS / max(t_long - t_short, 1e-9))
-    return best
+    return best, _perf_fields(best, batch, flops)
 
 
 def _stage_entry(stage):
-    """(metric_name, images_per_sec) for one stage of the matrix."""
+    """(metric_name, images_per_sec, extras) for one matrix stage."""
     if stage == "predict":
-        ips = _bench_predict()
-        return f"predict_images_per_sec_per_chip_effb5_{HEIGHT}x{WIDTH}", ips
+        ips, extras = _bench_predict()
+        return (f"predict_images_per_sec_per_chip_effb5_{HEIGHT}x{WIDTH}",
+                ips, extras)
     if stage == "highres":
         # the reference's high-res config at batch 8 (its GPU ceiling
         # was 4; v5e fits 8 and is 56% faster per image -- CLAUDE.md)
-        ips = _bench_train("rigid", batch=8, height=256, width=1024,
-                           repeats=max(REPEATS - 1, 1))
-        return "train_images_per_sec_per_chip_effb5_rigid_256x1024", ips
+        ips, extras = _bench_train("rigid", batch=8, height=256, width=1024,
+                                   repeats=max(REPEATS - 1, 1))
+        return "train_images_per_sec_per_chip_effb5_rigid_256x1024", ips, \
+            extras
     tag = "pwcnet" if stage == "flow" else "effb5"
-    ips = _bench_train(stage,
-                       repeats=REPEATS if stage == "rigid"
-                       else max(REPEATS - 1, 1))
+    ips, extras = _bench_train(stage,
+                               repeats=REPEATS if stage == "rigid"
+                               else max(REPEATS - 1, 1))
     return (f"train_images_per_sec_per_chip_{tag}_{stage}_"
-            f"{HEIGHT}x{WIDTH}", ips)
+            f"{HEIGHT}x{WIDTH}", ips, extras)
 
 
-def main():
-    if STAGE:
-        # legacy single-stage mode (probes, BENCH_STAGE=... runs)
-        metric, ips = _stage_entry(STAGE)
-        print(json.dumps({
-            "metric": metric, "value": round(ips, 2), "unit": "images/sec",
-            "vs_baseline": round(ips / TF2_GPU_IMAGES_PER_SEC_ESTIMATE, 2),
-            "baseline_is_estimate": True,
-        }))
-        return
+# compile-cost order: the headline rigid stage first, then cheapest
+# programs first so a deadline cut loses the most expensive extras only
+_STAGE_ORDER = ["rigid", "predict", "flow", "joint", "stereo", "highres"]
 
-    stages = {}
-    headline = None
-    for stage in [s.strip() for s in STAGES if s.strip()]:
-        try:
-            metric, ips = _stage_entry(stage)
-            entry = {"metric": metric, "value": round(ips, 2),
-                     "unit": "images/sec"}
-        except Exception as exc:  # a broken stage must not hide the rest
-            entry = {"error": f"{type(exc).__name__}: {exc}"[:300]}
-        if stage == "rigid":
-            headline = entry
-        else:
-            stages[stage] = entry
-    if headline is None or "error" in headline:
-        raise SystemExit(f"rigid stage failed: {headline}")
-    print(json.dumps({
+
+def _result_json(headline, stages):
+    if headline is None:
+        return json.dumps({"error": "no stage completed", "stages": stages})
+    out = {
         "metric": headline["metric"],
         "value": headline["value"],
         "unit": "images/sec",
@@ -242,8 +296,72 @@ def main():
         "vs_baseline": round(
             headline["value"] / TF2_GPU_IMAGES_PER_SEC_ESTIMATE, 2),
         "baseline_is_estimate": True,
-        "stages": stages,
-    }))
+    }
+    out.update({k: headline[k] for k in
+                ("flops_per_step", "tf_per_sec", "mfu") if k in headline})
+    out["stages"] = stages
+    return json.dumps(out)
+
+
+def main():
+    _setup_compile_cache()
+    if STAGE:
+        # legacy single-stage mode (probes, BENCH_STAGE=... runs)
+        metric, ips, extras = _stage_entry(STAGE)
+        print(json.dumps({
+            "metric": metric, "value": round(ips, 2), "unit": "images/sec",
+            "vs_baseline": round(ips / TF2_GPU_IMAGES_PER_SEC_ESTIMATE, 2),
+            "baseline_is_estimate": True, **extras,
+        }))
+        return
+
+    selected = [s.strip() for s in STAGES if s.strip()]
+    ordered = ([s for s in _STAGE_ORDER if s in selected]
+               + [s for s in selected if s not in _STAGE_ORDER])
+    stages = {}
+    state = {"headline": None}
+
+    def emit_partial():
+        # headline falls back to the first successful stage when the
+        # preferred one failed or was not selected (ADVICE r3)
+        headline, shown = state["headline"], dict(stages)
+        if headline is None:
+            for name, entry in stages.items():
+                if "value" in entry:
+                    headline = entry
+                    shown.pop(name)
+                    break
+        print(_result_json(headline, shown), flush=True)
+
+    _install_deadline_handlers(emit_partial)
+    headline_stage = "rigid" if "rigid" in ordered else ordered[0]
+    for stage in ordered:
+        left = _time_left()
+        if left <= 0:
+            stages[stage] = {"skipped": "deadline"}
+            continue
+        if left != float("inf"):
+            signal.alarm(max(int(left), 1))
+        t0 = time.time()
+        try:
+            metric, ips, extras = _stage_entry(stage)
+            entry = {"metric": metric, "value": round(ips, 2),
+                     "unit": "images/sec", **extras,
+                     "secs": round(time.time() - t0, 1)}
+        except _Deadline:
+            stages[stage] = {"skipped": "deadline"}
+            continue
+        except Exception as exc:  # a broken stage must not hide the rest
+            entry = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+        finally:
+            signal.alarm(0)
+        if stage == headline_stage and "error" not in entry:
+            state["headline"] = entry
+        if stage != headline_stage or "error" in entry:
+            stages[stage] = entry
+    emit_partial()
+    if not (state["headline"] or any("value" in e for e in stages.values())):
+        raise SystemExit(f"no stage completed (headline '{headline_stage}')")
 
 
 if __name__ == "__main__":

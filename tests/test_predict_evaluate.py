@@ -185,3 +185,18 @@ def test_chunked_predictions_match_monolithic(tmp_path):
                                      tmp_path / "one", "split",
                                      flush_bytes=1 << 30)
     assert [p.name for p in paths1] == ["split.npz"]
+
+    # a part series is only complete with its marker (ADVICE r3): a
+    # predict run killed between flushes must read as ABSENT, not done
+    marker = tmp_path / "chunk" / "split.parts.json"
+    assert marker.exists() and paths[-1] == marker
+    marker_bytes = marker.read_bytes()
+    marker.unlink()
+    assert not has_predictions(tmp_path / "chunk" / "split.npz")
+    with pytest.raises(FileNotFoundError):
+        list(prediction_parts(tmp_path / "chunk" / "split.npz"))
+    # marker present but a part missing -> loud corruption error
+    marker.write_bytes(marker_bytes)
+    paths[-2].unlink()
+    with pytest.raises(FileNotFoundError, match="corrupt"):
+        has_predictions(tmp_path / "chunk" / "split.npz")

@@ -82,7 +82,10 @@ class SyntheticDataset:
                  height: int = 32, width: int = 64, num_batches: int = 8,
                  stereo: bool = False, seed: int = 0, depth_m: float = 10.0,
                  step_m: float = 0.5, varying_depth: bool = False,
-                 vary_motion: bool = False, baseline_m: float = 0.3):
+                 vary_motion: bool = False, baseline_m: float = 0.3,
+                 moving_object: bool = False,
+                 object_vel_ratio: float = 0.6,
+                 object_depth_m: float | None = None):
         """``varying_depth`` replaces the constant-depth plane with a
         row-banded relief (depth sweeps depth_m/2 .. depth_m*2 across
         rows) whose inverse depth is appearance-coded into channel 0 --
@@ -90,7 +93,21 @@ class SyntheticDataset:
         constant-depth predictor scores AbsRel ~0.3 there, so metric
         improvement is non-trivial. ``vary_motion`` scales each
         example's camera step by a random factor in [0.6, 1.4] so pose
-        regression must read the images, not memorize a constant."""
+        regression must read the images, not memorize a constant.
+
+        ``moving_object`` (VERDICT r3 #2) adds an independently moving
+        textured row-band: rows ``object_rows()`` hold a foreground
+        surface at ``object_depth_m`` whose world x-position moves at
+        ``object_vel_ratio`` x the camera's per-frame step. Per-row
+        rendering stays an EXACT render (pure-x motions). The band
+        breaks the rigid-scene assumption exactly like the moving cars
+        the reference's CombinedLoss exists for (losses.py:235-279):
+        for camera step s and object velocity w = r*s, photometric
+        consistency is satisfied by the WRONG depth
+        d_bias = d_obj * s/(s-w) = d_obj/(1-r), the classic
+        moving-object depth bias -- so rigid-only training converges to
+        a measurably biased band depth while the flow branch can model
+        the band's true correspondence."""
         self.batch_size = batch_size
         self.snippet_len = snippet_len
         self.height = height
@@ -108,9 +125,21 @@ class SyntheticDataset:
         else:
             self.depth_rows = np.full((height,), depth_m, np.float32)
         self.varying_depth = varying_depth
+        self.moving_object = moving_object
+        self.object_vel_ratio = object_vel_ratio
+        self.object_depth_m = (object_depth_m if object_depth_m is not None
+                               else depth_m * 0.7)
+        if moving_object:
+            assert not stereo, "moving_object supports monocular worlds"
         fx = width * 0.6
         self.intrinsic = np.array(
             [[fx, 0, width / 2], [0, fx, height / 2], [0, 0, 1]], np.float32)
+
+    def object_rows(self) -> tuple[int, int]:
+        """The moving band [r0, r1): inside the Garg crop (rows
+        0.41H..0.99H, evaluate/depth_metrics.py) so the band's depth
+        shows up in AbsRel."""
+        return int(self.height * 0.50), int(self.height * 0.72)
 
     def __len__(self):
         return self.num_batches
@@ -136,18 +165,39 @@ class SyntheticDataset:
         if self.vary_motion:
             step = step * rng.uniform(0.6, 1.4)
         # camera positions: sources at [-2, -1, +1, +2] * step, target at 0
-        # (target frame LAST in the stack, example_maker.py:119-121)
-        offsets = [(-2 + i) * step for i in range(s - 1 + 1)]
-        src_offsets = [o for o in offsets if o != 0.0][: s - 1]
+        # (target frame LAST in the stack, example_maker.py:119-121);
+        # frame index IS the timestamp (one step per frame)
+        times = [t for t in range(-2, s - 2)]
+        src_times = [t for t in times if t != 0][: s - 1]
+        src_offsets = [t * step for t in src_times]
         frames = [self._render(texture, o) for o in src_offsets]
         frames.append(texture)  # target at x=0
+
+        if self.moving_object:
+            r0, r1 = self.object_rows()
+            d_obj = self.object_depth_m
+            vel = self.object_vel_ratio * step  # meters per frame
+            obj_tex = _texture(r1 - r0, self.width, rng)
+            if self.varying_depth:
+                obj_tex = _tint_by_inverse_depth(
+                    obj_tex, np.full((r1 - r0,), d_obj, np.float32),
+                    self.depth_m * 0.5, self.depth_m * 2.0)
+            for frame, t in zip(frames, src_times + [0]):
+                # object world-x at time t is vel*t; its image shift is
+                # set by the camera-relative offset (exact per-row render)
+                frame[r0:r1] = _render_plane(
+                    obj_tex, self.intrinsic[0, 0], t * step - vel * t, d_obj)
         image5d = np.stack(frames, axis=0)
 
         # target->source transform for camera at +o: x_src = x - o
         pose_gt = np.tile(np.eye(4, dtype=np.float32), (s - 1, 1, 1))
         for i, o in enumerate(src_offsets):
             pose_gt[i, 0, 3] = -o
-        depth_gt = np.tile(self.depth_rows[:, None, None],
+        depth_rows = self.depth_rows.copy()
+        if self.moving_object:
+            r0, r1 = self.object_rows()
+            depth_rows[r0:r1] = self.object_depth_m
+        depth_gt = np.tile(depth_rows[:, None, None],
                            (1, self.width, 1)).astype(np.float32)
         return image5d, depth_gt, pose_gt
 
@@ -183,6 +233,161 @@ class SyntheticDataset:
                 t_lr[:, 0, 3] = baseline  # right->left: x_L = x_R + b
                 feats["stereo_T_LR"] = t_lr
             yield feats
+
+
+def _rot_y(theta: float) -> np.ndarray:
+    c, s = np.cos(theta), np.sin(theta)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+
+class PlanarSceneDataset:
+    """Tilted textured plane rendered EXACTLY under full SE(3) camera
+    motion (VERDICT r3 #4/#5).
+
+    The scene is one infinite plane whose depth in the canonical target
+    view sweeps ``depth_max`` (top row) to ``depth_min`` (bottom row) --
+    a ground-plane-like relief. Texture is an ANALYTIC sum of sinusoids
+    in the plane's own (s, tau) coordinates, so any camera pose renders
+    exactly: per pixel, intersect the ray with the plane in closed form
+    and evaluate the texture there. Unlike SyntheticDataset's per-row
+    renderer (pure-x motion only), this supports camera rotation, which
+    puts all 6 twist DoF into ``pose_gt``: cameras translate in x AND
+    yaw about y by ``yaw_deg`` per frame, so the pose head's rotation
+    output is exercised non-trivially (the reference's odometry eval is
+    full SE(3), eval_utils.py:28-75).
+
+    The inverse of the canonical-view depth is painted into channel 0
+    as a surface property (a function of the plane coordinate tau), so
+    single-image depth stays learnable from local appearance.
+
+    Feature dict layout matches SyntheticDataset (monocular keys).
+    """
+
+    def __init__(self, batch_size: int = 2, snippet_len: int = 5,
+                 height: int = 32, width: int = 64, num_batches: int = 8,
+                 seed: int = 0, depth_min: float = 5.0,
+                 depth_max: float = 20.0, step_m: float = 0.5,
+                 yaw_deg: float = 0.0, vary_motion: bool = False):
+        self.batch_size = batch_size
+        self.snippet_len = snippet_len
+        self.height = height
+        self.width = width
+        self.num_batches = num_batches
+        self.seed = seed
+        self.depth_min = depth_min
+        self.depth_max = depth_max
+        self.step_m = step_m
+        self.yaw_deg = yaw_deg
+        self.vary_motion = vary_motion
+        fx = width * 0.6
+        cx, cy = width / 2, height / 2
+        self.intrinsic = np.array(
+            [[fx, 0, cx], [0, fx, cy], [0, 0, 1]], np.float32)
+        # plane {X : n.X = c} with n = (0, ny, 1): canonical depth
+        # z(v) = c / (1 + ny*(v-cy)/fy) hits depth_max at v=0 and
+        # depth_min at v=H-1 (near at the bottom, like a road)
+        a_top, a_bot = (0 - cy) / fx, (height - 1 - cy) / fx
+        ny = (depth_max - depth_min) / (depth_min * a_bot
+                                        - depth_max * a_top)
+        self.normal = np.array([0.0, ny, 1.0], np.float32)
+        self.plane_c = depth_max * (1.0 + ny * a_top)
+        self.p0 = np.array([0.0, 0.0, self.plane_c], np.float32)
+        self.e1 = np.array([1.0, 0.0, 0.0], np.float32)
+        e2 = np.array([0.0, 1.0, -ny], np.float32)
+        self.e2 = (e2 / np.linalg.norm(e2)).astype(np.float32)
+
+    def __len__(self):
+        return self.num_batches
+
+    def config_keys(self):
+        return ["image", "intrinsic", "depth_gt", "pose_gt"]
+
+    def _sample_texture(self, rng: np.random.RandomState):
+        """Analytic plane texture: per channel, a sum of smooth
+        sinusoids in plane meters (wavelengths ~2-8 m: several pixels
+        at every depth in range, so bilinear resampling inside the loss
+        stays accurate)."""
+        freqs = rng.uniform(0.4, 1.5, (3, 4, 2)).astype(np.float32)
+        phases = rng.uniform(0, 2 * np.pi, (3, 4)).astype(np.float32)
+        amps = rng.uniform(0.15, 0.35, (3, 4)).astype(np.float32)
+
+        def tex(s, tau):
+            chans = []
+            for ch in range(3):
+                val = sum(amps[ch, k] * np.sin(freqs[ch, k, 0] * s
+                                               + freqs[ch, k, 1] * tau
+                                               + phases[ch, k])
+                          for k in range(4))
+                chans.append(val)
+            img = np.stack(chans, axis=-1).astype(np.float32)
+            # inverse canonical depth as a surface-painted cue (ch 0)
+            z_canon = self.p0[2] + tau * self.e2[2]
+            lo, hi = 1.0 / self.depth_max, 1.0 / self.depth_min
+            cue = 2.0 * (1.0 / np.clip(z_canon, self.depth_min * 0.5,
+                                       self.depth_max * 2.0) - lo) \
+                / (hi - lo) - 1.0
+            img[..., 0] = 0.4 * img[..., 0] + 0.6 * np.clip(cue, -1, 1)
+            return np.clip(img, -1, 1)
+        return tex
+
+    def _render_pose(self, tex, rotation: np.ndarray, position: np.ndarray):
+        """Exact render + depth map for camera-to-world (R, t)."""
+        height, width = self.height, self.width
+        k = self.intrinsic
+        uu, vv = np.meshgrid(np.arange(width, dtype=np.float32),
+                             np.arange(height, dtype=np.float32))
+        dirs_c = np.stack([(uu - k[0, 2]) / k[0, 0],
+                           (vv - k[1, 2]) / k[1, 1],
+                           np.ones_like(uu)], axis=-1)
+        dirs_w = dirs_c @ rotation.T
+        denom = dirs_w @ self.normal
+        lam = (self.plane_c - position @ self.normal) / denom
+        points = position + lam[..., None] * dirs_w
+        rel = points - self.p0
+        img = tex(rel @ self.e1, rel @ self.e2)
+        return img.astype(np.float32), lam.astype(np.float32)  # z_c == lam
+
+    def _make_example(self, rng: np.random.RandomState):
+        s = self.snippet_len
+        tex = self._sample_texture(rng)
+        step, yaw = self.step_m, np.deg2rad(self.yaw_deg)
+        if self.vary_motion:
+            step = step * rng.uniform(0.6, 1.4)
+            yaw = yaw * rng.uniform(0.6, 1.4)
+        times = [t for t in range(-2, s - 2) if t != 0][: s - 1]
+        frames, poses = [], []
+        for t in times:
+            rot = _rot_y(yaw * t)
+            pos = np.array([t * step, 0.0, 0.0], np.float32)
+            img, _ = self._render_pose(tex, rot, pos)
+            frames.append(img)
+            # target->source: X_s = R^T (X_t - pos)
+            t2s = np.eye(4, dtype=np.float32)
+            t2s[:3, :3] = rot.T
+            t2s[:3, 3] = -rot.T @ pos
+            poses.append(t2s)
+        target, depth = self._render_pose(
+            tex, np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+        frames.append(target)
+        return (np.stack(frames), depth[..., None].astype(np.float32),
+                np.stack(poses))
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed)
+        for _ in range(self.num_batches):
+            images, depths, poses = [], [], []
+            for _ in range(self.batch_size):
+                im, de, po = self._make_example(rng)
+                images.append(im)
+                depths.append(de)
+                poses.append(po)
+            yield {
+                "image5d": np.stack(images),
+                "intrinsic": np.tile(self.intrinsic,
+                                     (self.batch_size, 1, 1)),
+                "depth_gt": np.stack(depths),
+                "pose_gt": np.stack(poses),
+            }
 
 
 class SyntheticReader:

@@ -15,6 +15,7 @@ Re-designs /root/reference/model/model_main.py:132-160 (predict) and
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 
 import numpy as np
@@ -75,7 +76,14 @@ def predict_dataset_chunked(model, state, loader, predict_step, pred_dir,
     holds more than one chunk in host RAM. A split that fits in one
     chunk is written as a plain ``{name}.npz`` (the legacy layout).
 
-    :return: list of written paths
+    A part series is only COMPLETE once the ``{name}.parts.json``
+    marker exists (written atomically after the final flush with the
+    expected part count); a predict run killed between flushes leaves
+    no marker, so ``has_predictions``/``prediction_parts`` treat the
+    truncated series as absent instead of silently evaluating a
+    partial test split.
+
+    :return: list of written paths (marker last for a part series)
     """
     import jax.numpy as jnp
 
@@ -127,19 +135,47 @@ def predict_dataset_chunked(model, state, loader, predict_step, pred_dir,
         if held_bytes() >= flush_bytes:
             flush(final=False)
     flush(final=True)
+    if written and written[0].name.endswith(".part0.npz"):
+        marker = _parts_marker(pred_dir / f"{name}.npz")
+        tmp = marker.parent / (marker.name + ".tmp")
+        tmp.write_text(json.dumps({"parts": len(written)}))
+        tmp.replace(marker)  # atomic completion: marker appears last
+        written.append(marker)
     return written
+
+
+def _parts_marker(npz_path) -> Path:
+    """Completion marker for a ``{name}.part{K}.npz`` series."""
+    path = Path(npz_path)
+    return path.parent / (path.stem + ".parts.json")
+
+
+def _complete_parts(npz_path) -> list:
+    """The part files of a COMPLETE series (marker present, count
+    matches), else []."""
+    path = Path(npz_path)
+    marker = _parts_marker(path)
+    if not marker.exists():
+        return []
+    parts = sorted(path.parent.glob(path.stem + ".part*.npz"),
+                   key=lambda p: int(p.suffixes[-2][5:]))
+    expected = json.loads(marker.read_text())["parts"]
+    if len(parts) != expected:
+        raise FileNotFoundError(
+            f"corrupt prediction series {path}: marker promises "
+            f"{expected} parts, found {len(parts)}")
+    return parts
 
 
 def prediction_parts(npz_path):
     """Yield prediction dicts for a (possibly chunked) saved split:
-    ``name.npz`` or the ``name.part{K}.npz`` series, one chunk in
-    memory at a time."""
+    ``name.npz`` or a COMPLETE ``name.part{K}.npz`` series (see
+    predict_dataset_chunked), one chunk in memory at a time."""
     path = Path(npz_path)
     if path.exists():
         yield dict(np.load(path))
         return
-    parts = sorted(path.parent.glob(path.stem + ".part*.npz"),
-                   key=lambda p: int(p.suffixes[-2][5:]))
+    parts = _complete_parts(path)
     if not parts:
         raise FileNotFoundError(npz_path)
     for part in parts:
@@ -147,8 +183,11 @@ def prediction_parts(npz_path):
 
 
 def has_predictions(npz_path) -> bool:
+    """True for a plain npz or a COMPLETE part series; a run killed
+    between part flushes (no completion marker) reports False so
+    predict_by_plan regenerates it."""
     path = Path(npz_path)
-    return path.exists() or any(path.parent.glob(path.stem + ".part*.npz"))
+    return path.exists() or bool(_complete_parts(path))
 
 
 def evaluate_depth_results(results: dict, min_depth=1e-3, max_depth=80.0):

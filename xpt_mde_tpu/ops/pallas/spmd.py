@@ -49,6 +49,44 @@ def _shard_leading(mesh, spec0, tree):
         lambda x: NamedSharding(mesh, P(spec0)), tree)
 
 
+def _n_shards(mesh, spec0) -> int:
+    if spec0 is None:
+        return 1
+    names = spec0 if isinstance(spec0, tuple) else (spec0,)
+    size = 1
+    for name in names:
+        size *= mesh.shape[name]
+    return size
+
+
+def _check_dp_contract(mesh, spec0, arg_infos):
+    """Fail early, by name, when the DP divisibility contract is broken
+    (ADVICE r3): every operand's leading dim must be divisible by the
+    sharded mesh-axis product, and by the smallest leading dim (so
+    shards hold whole contiguous ``b // numsrc`` groups). Without this
+    XLA fails deep inside partitioning with an opaque sharding error --
+    or worse, would split shards across numsrc groups."""
+    n = _n_shards(mesh, spec0)
+    if n == 1:
+        return
+    leads = [a.shape[0] for a in arg_infos if a.shape]
+    min_lead = min(leads)
+    for a in arg_infos:
+        lead = a.shape[0] if a.shape else 1
+        if lead % n:
+            raise ValueError(
+                f"batch_partitioned DP contract: leading dim {lead} of "
+                f"operand shape {a.shape} is not divisible by mesh axes "
+                f"{spec0!r} (size {n}); every kernel operand's batch axis "
+                "must split evenly over the data mesh (ops/pallas/spmd.py)")
+        if lead % min_lead:
+            raise ValueError(
+                f"batch_partitioned DP contract: leading dim {lead} of "
+                f"operand shape {a.shape} is not a whole multiple of the "
+                f"smallest operand batch {min_lead}; shards would straddle "
+                "per-example groups (ops/pallas/spmd.py)")
+
+
 def _make_wrapped(fn, shapes_key):
     """Build the custom_partitioning instance for one rank/size signature.
 
@@ -64,6 +102,7 @@ def _make_wrapped(fn, shapes_key):
     def partition(mesh, arg_infos, result_infos):
         _, spec0 = _leading_axis_partition(
             tuple(a.sharding for a in arg_infos))
+        _check_dp_contract(mesh, spec0, arg_infos)
         arg_sh = tuple(NamedSharding(mesh, P(spec0)) for _ in arg_infos)
         out_sh = _shard_leading(mesh, spec0, result_infos)
 

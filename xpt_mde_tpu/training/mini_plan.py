@@ -69,19 +69,31 @@ def miniature_plan(rigid_epochs: int, flow_epochs: int, joint_epochs: int,
     ]
 
 
-def make_config(datapath, plan, batch: int = 4) -> Config:
+RECIPE_STEREO = {"L1": 0.5, "SSIM": 0.5, "smoothe": 0.5,
+                 "L1_R": 0.5, "SSIM_R": 0.5, "smoothe_R": 0.5,
+                 "stereoL1": 0.01, "stereoPose": 1.0}
+
+
+def make_config(datapath, plan, batch: int = 4, **overrides) -> Config:
     """Config for the miniature plan; Exponential depth activation (see
-    module docstring for the measured reason)."""
-    return Config(stereo=False, per_replica_batch=batch,
+    module docstring for the measured reason). ``overrides`` reach the
+    Config directly (stereo=True, depth_activation=..., warp_kernel=...
+    for the round-4 learning checks)."""
+    kwargs = dict(stereo=False, per_replica_batch=batch,
                   compute_dtype="float32", augment_probs={},
                   depth_activation="Exponential",
                   datapath=str(datapath), ckpt_name="mini_plan",
                   training_plan=plan)
+    kwargs.update(overrides)
+    return Config(**kwargs)
 
 
-def synthetic_factory(train_batches: int = 6, val_batches: int = 2):
+def synthetic_factory(train_batches: int = 6, val_batches: int = 2,
+                      stereo: bool = False, **world):
     """dataset_factory for train_by_plan over the GT-bearing renderer;
-    the val split renders held-out textures/motions (different seed)."""
+    the val split renders held-out textures/motions (different seed).
+    ``world`` kwargs reach SyntheticDataset (moving_object=True builds
+    the dynamic-scene world of VERDICT r3 #2)."""
     from xpt_mde_tpu.data import SyntheticDataset
 
     def factory(dataset_name: str, split: str, batch_size: int):
@@ -90,13 +102,35 @@ def synthetic_factory(train_batches: int = 6, val_batches: int = 2):
         return SyntheticDataset(
             batch_size=batch_size, height=h, width=w,
             num_batches=train_batches if train else val_batches,
-            varying_depth=True, vary_motion=True,
-            seed=0 if train else 99)
+            varying_depth=True, vary_motion=True, stereo=stereo,
+            seed=0 if train else 99, **world)
+    return factory
+
+
+def planar_factory(train_batches: int = 6, val_batches: int = 2,
+                   yaw_deg: float = 1.0, depth_min: float = 5.0,
+                   depth_max: float = 20.0, step_m: float = 0.4):
+    """dataset_factory over the tilted-plane SE(3) world
+    (data/synthetic.py PlanarSceneDataset): camera yaw puts rotation
+    into pose_gt (VERDICT r3 #4), and the depth range is configurable
+    so the DEFAULT InverseSigmoid activation can be proven to learn on
+    a world matching its 0.99-100 m output range (VERDICT r3 #5)."""
+    from xpt_mde_tpu.data import PlanarSceneDataset
+
+    def factory(dataset_name: str, split: str, batch_size: int):
+        train = split == "train"
+        h, w = RIGID_SIZE if dataset_name == "synthetic_small" else FLOW_SIZE
+        return PlanarSceneDataset(
+            batch_size=batch_size, height=h, width=w,
+            num_batches=train_batches if train else val_batches,
+            depth_min=depth_min, depth_max=depth_max, step_m=step_m,
+            yaw_deg=yaw_deg, vary_motion=True, seed=0 if train else 99)
     return factory
 
 
 def evaluate_checkpoint(cfg: Config, nets, val_data,
-                        restore: bool = True) -> dict:
+                        restore: bool = True,
+                        return_results: bool = False) -> dict:
     """Held-out depth/pose metrics for the plan's current checkpoint
     (or the untrained init when ``restore=False``), through the real
     prediction + evaluation stack."""
@@ -112,7 +146,7 @@ def evaluate_checkpoint(cfg: Config, nets, val_data,
     from xpt_mde_tpu.training.optimizers import optimizer_factory
 
     model = ModelFactory(val_data.config_keys(), nets,
-                         cfg.depth_activation, stereo=False,
+                         cfg.depth_activation, stereo=cfg.stereo,
                          compute_dtype=cfg.compute_dtype).get_model()
     batch0 = {k: jnp.asarray(v) for k, v in next(iter(val_data)).items()}
     state = create_train_state(model, batch0,
@@ -132,6 +166,8 @@ def evaluate_checkpoint(cfg: Config, nets, val_data,
         out.update({"trj_abs_err": float(pose[0]),
                     "trj_rel_err": float(pose[1]),
                     "rot_err": float(pose[2])})
+    if return_results:
+        out["_results"] = results  # raw predictions for extra analyses
     return out
 
 
@@ -189,6 +225,95 @@ def evaluate_flow_epe(cfg: Config, val_data, restore: bool = True) -> float:
         err_u = flow[..., 0] - gt_u[..., None]
         epes.append(np.mean(np.sqrt(err_u ** 2 + flow[..., 1] ** 2)))
     return float(np.mean(epes))
+
+
+def band_abs_rel(results: dict, r0: int, r1: int) -> dict:
+    """AbsRel split into the moving band rows [r0, r1) vs the static
+    rest, both inside the Garg crop, with the standard full-image
+    GT-median scaling (so band bias shows up against a well-scaled
+    background).  Keys: ``band``, ``rest``."""
+    import numpy as np
+
+    from xpt_mde_tpu.evaluate.depth_metrics import valid_depth_filter
+
+    band_vals, rest_vals = [], []
+    for i in range(results["depth"].shape[0]):
+        pred = np.squeeze(np.array(results["depth"][i], np.float64))
+        gt = np.squeeze(np.array(results["depth_gt"][i], np.float64))
+        height, width = gt.shape
+        _, _, scaler = valid_depth_filter(pred, gt, return_scale=True)
+        pred = np.clip(pred * scaler, 1e-3, 80.0)
+        crop = np.array([0.40810811 * height, 0.99189189 * height,
+                         0.03594771 * width, 0.96405229 * width], np.int32)
+        abs_rel = np.abs(gt - pred) / gt
+        in_crop = np.zeros_like(gt, bool)
+        in_crop[crop[0]:crop[1], crop[2]:crop[3]] = True
+        in_band = np.zeros_like(gt, bool)
+        in_band[r0:r1] = True
+        band_vals.append(abs_rel[in_crop & in_band].mean())
+        rest_vals.append(abs_rel[in_crop & ~in_band].mean())
+    return {"band": float(np.mean(band_vals)),
+            "rest": float(np.mean(rest_vals))}
+
+
+def unscaled_abs_rel(results: dict) -> float:
+    """AbsRel WITHOUT GT-median scaling: finite only when the model's
+    depth is metrically correct. Stereo supervision fixes absolute
+    scale (the published models' key property; losses.py:443-494), so
+    this is the stereo learning check's headline number."""
+    import numpy as np
+
+    vals = []
+    for i in range(results["depth"].shape[0]):
+        pred = np.squeeze(np.array(results["depth"][i], np.float64))
+        gt = np.squeeze(np.array(results["depth_gt"][i], np.float64))
+        height, width = gt.shape
+        crop = np.array([0.40810811 * height, 0.99189189 * height,
+                         0.03594771 * width, 0.96405229 * width], np.int32)
+        sl = np.s_[crop[0]:crop[1], crop[2]:crop[3]]
+        vals.append(np.mean(np.abs(gt[sl] - pred[sl]) / gt[sl]))
+    return float(np.mean(vals))
+
+
+def evaluate_stereo_extrinsic(cfg: Config, nets, val_data,
+                              restore: bool = True) -> dict:
+    """Mean error of the predicted L->R stereo twist vs the GT
+    extrinsic (the StereoPoseLoss target, losses.py:481-494):
+    ``trans_err`` in meters, ``rot_err`` in radians."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from xpt_mde_tpu.models import ModelFactory
+    from xpt_mde_tpu.training.checkpoint import CheckpointManager
+    from xpt_mde_tpu.training.train_step import (create_train_state,
+                                                 make_predict_step)
+    from xpt_mde_tpu.training.optimizers import optimizer_factory
+    from xpt_mde_tpu.utils import se3
+
+    model = ModelFactory(val_data.config_keys(), nets,
+                         cfg.depth_activation, stereo=True,
+                         compute_dtype=cfg.compute_dtype).get_model()
+    batch0 = {k: jnp.asarray(v) for k, v in next(iter(val_data)).items()}
+    state = create_train_state(model, batch0,
+                               optimizer_factory("adam_constant", 1e-4))
+    if restore:
+        ckpt_dir = Path(cfg.datapath_ckp) / cfg.ckpt_name
+        state, loaded = CheckpointManager(ckpt_dir).restore_params(state)
+        if not loaded:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    predict = make_predict_step(model)
+
+    trans, rot = [], []
+    for batch in val_data:
+        feats = {k: jnp.asarray(v) for k, v in batch.items()}
+        preds = predict(state, feats)
+        pose_lr = np.asarray(preds["pose_LR"])  # [B, 1, 6]
+        gt = np.asarray(se3.matrix_to_twist(
+            feats["stereo_T_LR"][:, None]))
+        trans.append(np.abs(pose_lr[..., :3] - gt[..., :3]).mean())
+        rot.append(np.abs(pose_lr[..., 3:] - gt[..., 3:]).mean())
+    return {"trans_err": float(np.mean(trans)),
+            "rot_err": float(np.mean(rot))}
 
 
 def net_checkpoint_bytes(cfg: Config, net: str, suffix: str) -> bytes:

@@ -1,0 +1,31 @@
+"""Shared persistent XLA compilation cache for on-chip tools.
+
+The axon TPU platform compiles through a slow remote service (minutes
+per program, worse under contention); the jax persistent compilation
+cache is verified to work against it, so bench.py and every
+benchmarks/check_*.py script route through one repo-local cache dir --
+a program any tool has compiled once is free for all of them, across
+rounds (VERDICT r3 #1).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def repo_cache_dir() -> str:
+    """.cache/jax_compile at the repo root (gitignored)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(os.path.dirname(os.path.dirname(here)),
+                        ".cache", "jax_compile")
+
+
+def enable(cache_dir: str | None = None) -> str:
+    """Point jax at the persistent cache (env override first)."""
+    import jax
+
+    cache_dir = (cache_dir
+                 or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                 or repo_cache_dir())
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    return cache_dir
