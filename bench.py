@@ -42,6 +42,7 @@ from __future__ import annotations
 import json
 import os as _os
 import signal
+import sys
 import time
 
 import jax
@@ -61,7 +62,7 @@ WARMUP_STEPS = 3
 SHORT_STEPS = 3
 MEASURE_STEPS = 20
 REPEATS = int(_os.environ.get("BENCH_REPEATS", 3))
-DEADLINE_S = float(_os.environ.get("BENCH_DEADLINE_S", 1380))
+DEADLINE_S = float(_os.environ.get("BENCH_DEADLINE_S", 1200))
 T_START = time.time()
 
 
@@ -163,10 +164,16 @@ def build_stage(stage=STAGE or "rigid", batch=BATCH, height=HEIGHT,
 
 
 def _cost_analysis(jitted, *args):
-    """flops per call from XLA's client-side cost analysis; None when
-    the backend can't provide one (never fatal to the bench)."""
+    """flops per call from XLA's cost analysis; None when the backend
+    can't provide one (never fatal to the bench). On the axon TPU
+    backend ``lower().cost_analysis()`` returns None but the COMPILED
+    analysis works; call this only after the program is warm so the
+    extra ``.compile()`` is a persistent-cache hit, not a recompile."""
     try:
-        cost = jitted.lower(*args).cost_analysis()
+        lowered = jitted.lower(*args)
+        cost = lowered.cost_analysis()
+        if not cost or "flops" not in cost:
+            cost = lowered.compile().cost_analysis()
         flops = float(cost.get("flops", 0.0)) if cost else 0.0
         return flops if flops > 0 else None
     except Exception:
@@ -194,7 +201,6 @@ def _bench_train(stage, batch=BATCH, height=HEIGHT, width=WIDTH,
                            frozen_nets=step_kwargs.get("frozen_nets", ()))
     state = create_train_state(model, features, tx)
     step = make_train_step(model, total_loss, **step_kwargs)
-    flops = _cost_analysis(step, state, features, jax.random.PRNGKey(0))
 
     # steps serialize through the donated train state; a host fetch of
     # the final loss is the only reliable sync on the axon remote
@@ -212,6 +218,8 @@ def _bench_train(stage, batch=BATCH, height=HEIGHT, width=WIDTH,
         return state, rng
 
     state, step_rng = run_steps(state, step_rng, WARMUP_STEPS)
+    # after warmup: the .compile() inside is a persistent-cache hit
+    flops = _cost_analysis(step, state, features, jax.random.PRNGKey(0))
     # best of N windows: the least-contended one is the true device rate
     images_per_sec = 0.0
     for _ in range(repeats):
@@ -237,7 +245,6 @@ def _bench_predict(batch=BATCH, height=HEIGHT, width=WIDTH,
     tx = optimizer_factory("adam_constant", 1e-4)
     state = create_train_state(model, features, tx)
     predict = make_predict_step(model)
-    flops = _cost_analysis(predict, state, features)
 
     def run_predict(n):
         preds = None
@@ -246,6 +253,7 @@ def _bench_predict(batch=BATCH, height=HEIGHT, width=WIDTH,
         float(jnp.sum(preds["depth_ms"][0]))  # true host sync
 
     run_predict(WARMUP_STEPS)
+    flops = _cost_analysis(predict, state, features)
     best = 0.0
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -343,6 +351,9 @@ def main():
         if left != float("inf"):
             signal.alarm(max(int(left), 1))
         t0 = time.time()
+        print(f"[bench] stage {stage} starting "
+              f"(t={time.time() - T_START:.0f}s, left={left:.0f}s)",
+              file=sys.stderr, flush=True)
         try:
             metric, ips, extras = _stage_entry(stage)
             entry = {"metric": metric, "value": round(ips, 2),
@@ -355,8 +366,16 @@ def main():
             entry = {"error": f"{type(exc).__name__}: {exc}"[:300]}
         finally:
             signal.alarm(0)
+        print(f"[bench] stage {stage} done: {entry}",
+              file=sys.stderr, flush=True)
         if stage == headline_stage and "error" not in entry:
             state["headline"] = entry
+            # provisional emit: measured r4, the axon remote compile
+            # service ignores the persistent cache and blocks signals,
+            # so a driver SIGKILL mid-stage would otherwise leave no
+            # parseable tail; the final emit repeats the same format
+            # with the full stages dict (last JSON line wins)
+            emit_partial()
         if stage != headline_stage or "error" in entry:
             stages[stage] = entry
     emit_partial()

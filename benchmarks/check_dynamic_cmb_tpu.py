@@ -45,11 +45,11 @@ def log(*args):
     print(f"[{time.time() - T0:6.1f}s]", *args, flush=True)
 
 
-def evaluate(cfg, val_data):
+def evaluate(cfg, val_data, restore=True):
     from xpt_mde_tpu.training import mini_plan as mp
 
     metrics = mp.evaluate_checkpoint(cfg, mp.RIGID_NETS, val_data,
-                                     return_results=True)
+                                     restore=restore, return_results=True)
     results = metrics.pop("_results")
     r0, r1 = val_data.object_rows()
     metrics.update(mp.band_abs_rel(results, r0, r1))
@@ -89,7 +89,7 @@ def main():
                            seed=99, **world)
 
     cfg = mp.make_config(WORKDIR / "shared", [stage_rigid], batch=8)
-    init = evaluate(cfg, val)
+    init = evaluate(cfg, val, restore=False)
     log("init        :", {k: round(v, 4) for k, v in init.items()})
 
     train_by_plan(cfg, factory)

@@ -35,6 +35,8 @@ def log(*args):
 
 
 def main():
+    from xpt_mde_tpu.utils.compile_cache import enable as enable_cache
+    enable_cache()
     from xpt_mde_tpu.data import SyntheticDataset
     from xpt_mde_tpu.training import mini_plan as mp
     from xpt_mde_tpu.training.trainer import train_by_plan

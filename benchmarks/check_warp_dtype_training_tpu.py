@@ -83,6 +83,8 @@ def train_once(mode: str, batches, model, total_loss) -> dict:
 
 
 def main():
+    from xpt_mde_tpu.utils.compile_cache import enable as enable_cache
+    enable_cache()
     batches, model, total_loss = build()
     runs = {mode: train_once(mode, batches, model, total_loss)
             for mode in ("exact", "int8")}

