@@ -95,6 +95,21 @@ def test_deadline_skips_but_still_emits(monkeypatch, capsys,
     assert data["stages"]["predict"] == {"skipped": "deadline"}
 
 
+def test_low_budget_skips_extras_but_runs_headline(monkeypatch, capsys,
+                                                   restore_signals):
+    # a stage is never STARTED without STAGE_MIN_S of budget left (the
+    # remote compile is uncancellable, so starting one with 250 s left
+    # would blow the deadline inside a blocking RPC) -- but the headline
+    # stage always gets its shot
+    entries = {"rigid": ("m_rigid", 10.0, {}),
+               "predict": ("m_predict", 20.0, {})}
+    data, calls = _run_main(monkeypatch, capsys, entries,
+                            ["rigid", "predict"], deadline=100.0)
+    assert calls == ["rigid"]
+    assert data["value"] == 10.0
+    assert data["stages"]["predict"] == {"skipped": "deadline"}
+
+
 def test_mid_matrix_deadline_keeps_measured_stages(monkeypatch, capsys,
                                                    restore_signals):
     t_start = time.time()
