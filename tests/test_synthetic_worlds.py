@@ -67,6 +67,65 @@ def test_moving_object_breaks_rigid_consistency_only_in_band():
     assert band_biased < 0.3 * band, (band_biased, band)
 
 
+def test_cmb_objective_neutralizes_moving_object_trap():
+    """Objective-level twin of benchmarks/check_dynamic_cmb_tpu.py
+    (VERDICT r3 #2): on the moving-object world, the plain rigid
+    photometric loss PREFERS the analytically biased band depth
+    d_obj/(1-r) over GT -- the trap rigid-only training converges into
+    -- while CombinedLoss (losses.py:235-279), given the band's true
+    flow, masks the band and removes that incentive. Deterministic
+    single forward; the training-dynamics version runs on-chip."""
+    from xpt_mde_tpu.losses.total import (CombinedLossMultiScale,
+                                          PhotometricLossMultiScale,
+                                          TotalLoss)
+
+    data = SyntheticDataset(batch_size=2, height=32, width=64,
+                            num_batches=1, varying_depth=True,
+                            moving_object=True, seed=7)
+    feats = {k: jnp.asarray(v) for k, v in next(iter(data)).items()}
+    r0, r1 = data.object_rows()
+    r = data.object_vel_ratio
+    height, width = data.height, data.width
+    fx = float(data.intrinsic[0, 0])
+
+    # analytic GT flow (sampling convention grid - flow): static rows
+    # flow_u = fx*o_i/d(v); band rows move WITH the camera at ratio r,
+    # so their apparent shift is fx*o_i*(1-r)/d_obj
+    offsets = -np.asarray(feats["pose_gt"])[:, :, 0, 3]        # [B, N]
+    d_rows = np.asarray(feats["depth_gt"])[:, :, 0, 0]         # [B, H]
+    flow_u = fx * offsets[:, :, None] / d_rows[:, None, :]     # [B, N, H]
+    flow_u[:, :, r0:r1] *= (1.0 - r)
+    flow = np.zeros((2, 4, height, width, 2), np.float32)
+    flow[..., 0] = flow_u[..., None]
+
+    def losses(depth):
+        preds = {"depth_ms": [jnp.asarray(depth)],
+                 "pose": feats["pose_gt"],
+                 "flow_ms": [jnp.asarray(flow)]}
+        augm = TotalLoss({}, {}).append_data(feats, preds)
+        rigid = PhotometricLossMultiScale("L1", [1.0])(feats, preds, augm)
+        cmb = CombinedLossMultiScale("L1", [1.0])(feats, preds, augm)
+        return float(jnp.mean(rigid)), float(jnp.mean(cmb))
+
+    gt_depth = np.asarray(feats["depth_gt"])
+    biased = gt_depth.copy()
+    biased[:, r0:r1] = data.object_depth_m / (1.0 - r)
+
+    rigid_gt, cmb_gt = losses(gt_depth)
+    rigid_biased, cmb_biased = losses(biased)
+
+    # the trap: the rigid objective strictly prefers the WRONG depth
+    assert rigid_biased < 0.8 * rigid_gt, (rigid_biased, rigid_gt)
+    # the fix: under cmb the GT depth is at least as good -- the band's
+    # violation is masked where the flow branch explains it better, so
+    # there is no longer an incentive to move off GT
+    assert cmb_gt <= cmb_biased * 1.05, (cmb_gt, cmb_biased)
+    # and the preference GAP collapses by an order of magnitude
+    rigid_gap = rigid_gt - rigid_biased
+    cmb_gap = cmb_gt - cmb_biased
+    assert abs(cmb_gap) < 0.1 * rigid_gap, (cmb_gap, rigid_gap)
+
+
 def test_planar_world_depth_profile_and_pose():
     data = PlanarSceneDataset(batch_size=1, height=32, width=64,
                               num_batches=1, depth_min=5.0, depth_max=20.0,
