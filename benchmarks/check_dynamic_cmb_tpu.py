@@ -8,25 +8,43 @@ trains on the moving-object synthetic world (data/synthetic.py,
 ``moving_object=True``): a textured row-band at depth d_obj moving at
 r x the camera's step, for which rigid photometric consistency is
 satisfied by the WRONG depth d_obj/(1-r) (the classic moving-object
-bias, pinned analytically in tests/test_synthetic_worlds.py).
+bias, pinned analytically in tests/test_synthetic_worlds.py, which also
+pins the OBJECTIVE-level version of this check: the rigid L1 strictly
+prefers the biased band depth, cmb does not).
 
-Protocol: shared rigid pre-train, then two arms from the same weights:
-  arm RIGID: keeps training the plain L1/SSIM rigid objective
-  arm CMB:   flow pre-train -> joint fine-tune under the cmb recipe
-Both arms see identical extra epochs. Held-out metrics split the Garg
-crop into the moving band vs the static rest (mini_plan.band_abs_rel).
+Protocol (v2 -- the v1 from-scratch-on-dynamic run left both arms far
+from convergence, measured r4: rest-AbsRel ~0.63 on both, band numbers
+noise): first a shared rigid pre-train on the STATIC world at 32x64
+(the r3-proven recipe: AbsRel 0.533 -> ~0.03 at ~1000 steps), the way
+real plans converge on mostly-static data before moving objects
+matter. Then two arms fine-tune on the DYNAMIC world at 64x128 from
+the same weights:
 
-Expected: the rigid arm's band AbsRel converges toward the analytic
-bias |1/(1-r) - 1| while the cmb arm, whose loss masks the band where
-the flow branch explains it better, stays clear of it -- and overall
-metrics do not regress.
+  arm RIGID: keeps training the plain L1/SSIM rigid objective -- the
+             band's photometric gradient drags its depth from the true
+             d_obj toward the bias d_obj/(1-r);
+  arm CMB:   flow pre-train -> joint fine-tune under the cmb recipe --
+             the loss masks band pixels the flow branch explains
+             better, removing that incentive.
+
+Both arms see identical dynamic-world epochs. Held-out metrics split
+the Garg crop into the moving band vs the static rest
+(mini_plan.band_abs_rel), all evaluated at 64x128 on the dynamic val
+world.
+
+Expected: the rigid arm's band AbsRel RISES from the good init toward
+the analytic bias |1/(1-r) - 1| = 1.5 (the trap materializes) while
+the cmb arm's stays well below it, without losing overall AbsRel.
 
 Run:  python benchmarks/check_dynamic_cmb_tpu.py
+Env:  CMB_SHARED_EPOCHS (static pre-train), CMB_EXTRA_EPOCHS (dynamic
+      fine-tune per arm)
 """
 
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import time
@@ -39,6 +57,10 @@ from xpt_mde_tpu.utils.compile_cache import enable as enable_cache
 WORKDIR = Path("/tmp/xpt_dynamic_cmb")
 T0 = time.time()
 VEL_RATIO = 0.6
+# on-chip epochs are ~5-10 s; compiles dominate the run, so err long
+SHARED_EPOCHS = int(os.environ.get("CMB_SHARED_EPOCHS", 30))
+EXTRA_EPOCHS = int(os.environ.get("CMB_EXTRA_EPOCHS", 12))
+TRAIN_BATCHES = int(os.environ.get("CMB_TRAIN_BATCHES", 42))
 
 
 def log(*args):
@@ -66,21 +88,23 @@ def main():
     shutil.rmtree(WORKDIR, ignore_errors=True)
     sw = mp.SCALE_WEIGHT_T1
     lr = 3e-4
-    shared_epochs, extra_epochs = 10, 6
+    lr_ft = 1.5e-4  # fine-tune rate on the dynamic world
     world = dict(moving_object=True, object_vel_ratio=VEL_RATIO)
-    factory = mp.synthetic_factory(train_batches=42, val_batches=2, **world)
+    static_factory = mp.synthetic_factory(train_batches=TRAIN_BATCHES,
+                                          val_batches=2)
+    dynamic_factory = mp.synthetic_factory(train_batches=TRAIN_BATCHES,
+                                           val_batches=2, **world)
 
-    # every stage runs at FLOW_SIZE (the "synthetic" dataset name): the
-    # PWC pyramid needs >= 64x128 and both arms must share resolution
-    stage_rigid = TrainStage(mp.RIGID_NETS, "synthetic", shared_epochs, lr,
-                             mp.RECIPE_RIGID, sw, True)
-    stage_rigid_more = TrainStage(mp.RIGID_NETS, "synthetic",
-                                  extra_epochs, lr * 0.1,
-                                  mp.RECIPE_RIGID, sw, True)
-    stage_flow = TrainStage(mp.FLOW_NETS, "synthetic", extra_epochs // 2,
-                            lr * 0.3, mp.RECIPE_FLOW, sw, True)
+    # stage 0 (shared): the r3-proven static-world recipe at 32x64
+    stage_shared = TrainStage(mp.RIGID_NETS, "synthetic_small",
+                              SHARED_EPOCHS, lr, mp.RECIPE_RIGID, sw, True)
+    # arm stages: dynamic world at 64x128 ("synthetic")
+    stage_rigid_ft = TrainStage(mp.RIGID_NETS, "synthetic", EXTRA_EPOCHS,
+                                lr_ft, mp.RECIPE_RIGID, sw, True)
+    stage_flow = TrainStage(mp.FLOW_NETS, "synthetic", EXTRA_EPOCHS // 2,
+                            1e-4, mp.RECIPE_FLOW, sw, True)
     stage_joint = TrainStage(mp.JOINT_NETS, "synthetic",
-                             extra_epochs - extra_epochs // 2, lr * 0.1,
+                             EXTRA_EPOCHS - EXTRA_EPOCHS // 2, lr_ft,
                              mp.RECIPE_JOINT, sw, True)
 
     val = SyntheticDataset(batch_size=8, height=mp.FLOW_SIZE[0],
@@ -88,37 +112,46 @@ def main():
                            varying_depth=True, vary_motion=True,
                            seed=99, **world)
 
-    cfg = mp.make_config(WORKDIR / "shared", [stage_rigid], batch=8)
+    cfg = mp.make_config(WORKDIR / "shared", [stage_shared], batch=8)
     init = evaluate(cfg, val, restore=False)
     log("init        :", {k: round(v, 4) for k, v in init.items()})
 
-    train_by_plan(cfg, factory)
+    train_by_plan(cfg, static_factory)
     shared = evaluate(cfg, val)
     log("shared rigid:", {k: round(v, 4) for k, v in shared.items()})
 
     # fork the two arms from the same pre-trained weights
     arms = {}
-    for arm, plan in (("rigid", [stage_rigid, stage_rigid_more]),
-                      ("cmb", [stage_rigid, stage_flow, stage_joint])):
+    for arm, plan in (("rigid", [stage_shared, stage_rigid_ft]),
+                      ("cmb", [stage_shared, stage_flow, stage_joint])):
         arm_dir = WORKDIR / arm
         shutil.copytree(WORKDIR / "shared", arm_dir)
         cfg_arm = mp.make_config(arm_dir, plan, batch=8)
-        train_by_plan(cfg_arm, factory)
+        train_by_plan(cfg_arm, dynamic_factory)  # stage 0 resumes as done
         arms[arm] = evaluate(cfg_arm, val)
         log(f"arm {arm:5s}   :", {k: round(v, 4)
                                   for k, v in arms[arm].items()})
 
     bias = abs(1.0 / (1.0 - VEL_RATIO) - 1.0)
     log(f"analytic band bias AbsRel if rigid fully converges: {bias:.2f}")
-    ok = (arms["cmb"]["band"] < arms["rigid"]["band"] * 0.8
-          and arms["cmb"]["abs_rel"] <= arms["rigid"]["abs_rel"] * 1.1
-          and arms["cmb"]["abs_rel"] <= shared["abs_rel"] * 1.1)
+    ok = (
+        # the trap materializes: rigid-only fine-tuning on the dynamic
+        # world drags the band AWAY from the good init toward the bias
+        arms["rigid"]["band"] > 2.0 * shared["band"]
+        # ...and cmb refuses the trade
+        and arms["cmb"]["band"] < 0.8 * arms["rigid"]["band"]
+        # cmb wins overall held-out AbsRel on the dynamic world
+        and arms["cmb"]["abs_rel"] <= arms["rigid"]["abs_rel"]
+        # and does not wreck what the shared stage learned
+        and arms["cmb"]["abs_rel"] <= shared["abs_rel"] * 1.15)
     print(json.dumps({
         "ok": bool(ok),
+        "analytic_bias": bias,
         "init_band": round(init["band"], 4),
         "shared_band": round(shared["band"], 4),
         "rigid_band": round(arms["rigid"]["band"], 4),
         "cmb_band": round(arms["cmb"]["band"], 4),
+        "shared_abs_rel": round(shared["abs_rel"], 4),
         "rigid_abs_rel": round(arms["rigid"]["abs_rel"], 4),
         "cmb_abs_rel": round(arms["cmb"]["abs_rel"], 4),
         "rigid_rest": round(arms["rigid"]["rest"], 4),

@@ -26,6 +26,7 @@ Run:  python benchmarks/check_stereo_learns_tpu.py
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import time
@@ -38,6 +39,8 @@ from xpt_mde_tpu.utils.compile_cache import enable as enable_cache
 WORKDIR = Path("/tmp/xpt_stereo_learns")
 T0 = time.time()
 BASELINE_M = 0.6
+MONO_EPOCHS = int(os.environ.get("STEREO_MONO_EPOCHS", 8))
+STEREO_EPOCHS = int(os.environ.get("STEREO_STEREO_EPOCHS", 10))
 DEPTH_M = 16.0  # scene 8..32 m: off the Exponential init's ~10 m scale,
 # so monocular training (scale-blind) cannot land metric by luck
 
@@ -60,10 +63,10 @@ def main():
     # pre-train before the stereo fine-tune rows); stage 2: the MS
     # recipe with L/R twins + stereo photometric + stereo pose terms
     plan = [
-        TrainStage(mp.RIGID_NETS, "synthetic_small", 8, lr,
+        TrainStage(mp.RIGID_NETS, "synthetic_small", MONO_EPOCHS, lr,
                    mp.RECIPE_RIGID, sw, True),
-        TrainStage(mp.RIGID_NETS, "synthetic_small", 8, lr * 0.5,
-                   mp.RECIPE_STEREO, sw, True),
+        TrainStage(mp.RIGID_NETS, "synthetic_small", STEREO_EPOCHS,
+                   lr * 0.5, mp.RECIPE_STEREO, sw, True),
     ]
     factory = mp.synthetic_factory(train_batches=42, val_batches=2,
                                    stereo=True, baseline_m=BASELINE_M,

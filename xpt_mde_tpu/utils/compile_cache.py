@@ -13,11 +13,30 @@ from __future__ import annotations
 import os
 
 
+def machine_tag() -> str:
+    """Short hash of the host CPU feature set. XLA:CPU AOT cache entries
+    compiled on a different machine spam loader errors (and could
+    SIGILL), so CPU caches must be keyed per machine-feature set
+    (VERDICT r3 weak #8); TPU entries are host-independent."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(line for line in f if line.startswith("flags"))
+    except (OSError, StopIteration):
+        import platform
+        flags = platform.machine()
+    return hashlib.sha1(flags.encode()).hexdigest()[:8]
+
+
 def repo_cache_dir() -> str:
-    """.cache/jax_compile at the repo root (gitignored)."""
+    """.cache/jax_compile at the repo root (gitignored); CPU-platform
+    runs get a machine-keyed sibling dir (see machine_tag)."""
     here = os.path.dirname(os.path.abspath(__file__))
-    return os.path.join(os.path.dirname(os.path.dirname(here)),
+    base = os.path.join(os.path.dirname(os.path.dirname(here)),
                         ".cache", "jax_compile")
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        return f"{base}_cpu_{machine_tag()}"
+    return base
 
 
 def enable(cache_dir: str | None = None) -> str:
