@@ -44,16 +44,24 @@ T0 = time.time()
 
 CASES = {
     # name: (depth_activation, depth_min, depth_max, step_m, yaw_deg, lr)
-    "yaw_exp": ("Exponential", 5.0, 20.0, 0.4, 1.0, 3e-4),
+    # Motion magnitudes are load-bearing (measured r4): the original
+    # yaw_exp config (step 0.4, yaw 1.0) puts ~12 px of inter-frame
+    # shift at 32x64 -- beyond the bilinear warp's +/-1 px gradient
+    # reach -- and neither depth nor rotation trained (abs_rel 0.141 ->
+    # 0.117, rot_err flat), while the gentler yaw_invsig config (~3 px
+    # shifts) collapsed both. Keep both cases in the regime where
+    # photometric gradients exist.
+    "yaw_exp": ("Exponential", 5.0, 20.0, 0.2, 0.8, 3e-4),
     "yaw_invsig": ("InverseSigmoid", 6.0, 45.0, 0.25, 0.8, 3e-4),
 }
+EPOCHS = int(os.environ.get("PLANAR_EPOCHS", 16))
 
 
 def log(*args):
     print(f"[{time.time() - T0:6.1f}s]", *args, flush=True)
 
 
-def run_case(name: str, epochs: int = 12) -> dict:
+def run_case(name: str, epochs: int = EPOCHS) -> dict:
     from xpt_mde_tpu.config import TrainStage
     from xpt_mde_tpu.data import PlanarSceneDataset
     from xpt_mde_tpu.training import mini_plan as mp
