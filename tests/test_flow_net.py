@@ -119,6 +119,7 @@ def test_packed_encoder_matches_plain():
                                    atol=5e-4, rtol=5e-3, err_msg=str(pa))
 
 
+@pytest.mark.slow  # XLA-twin PWC grads; pallas grad test covers the fast lane
 def test_pwcnet_grads_finite():
     from xpt_mde_tpu.models.flow_net import PWCNet
     b, s, h, w = 1, 2, 64, 64

@@ -25,6 +25,7 @@ def joint_parts():
     return data, model, batch
 
 
+@pytest.mark.slow  # forward subsumed by the full joint-step tests (fast lane)
 def test_joint_model_outputs(joint_parts):
     data, model, batch = joint_parts
     variables = model.init(jax.random.PRNGKey(0), batch, train=False)

@@ -81,6 +81,7 @@ def _final_state_bytes(workdir) -> bytes:
             / "trainstate_latest.msgpack").read_bytes()
 
 
+@pytest.mark.slow  # heavy plan-integration compile (fast-lane budget, r4)
 def test_midway_resume_is_bit_exact(tmp_path):
     # reference: uninterrupted 2-epoch run, no periodic checkpoints
     ref_dir = tmp_path / "ref"

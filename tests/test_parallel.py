@@ -45,6 +45,7 @@ def test_mesh_creation():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.slow  # subsumed by test_parallel_matches_single_device (fast lane)
 def test_parallel_step_runs(dp_parts):
     data, model, total_loss, batch = dp_parts
     mesh = make_mesh()
@@ -88,6 +89,7 @@ def test_parallel_matches_single_device(dp_parts):
     assert max_diff < 1e-4, max_diff
 
 
+@pytest.mark.slow  # multihost-family compile; 2-proc pod test is slow-lane too
 def test_lockstep_wrapper_matches_direct_call(dp_parts):
     """multihost.lockstep (AOT compile + barrier + execute) is
     semantically transparent: same results as calling the jitted step,

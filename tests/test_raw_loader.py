@@ -59,7 +59,10 @@ def test_train_step_accepts_uint8(shard_dir):
     from xpt_mde_tpu.training import (create_train_state, make_train_step,
                                       optimizer_factory)
 
-    kw = dict(batch_size=4, snippet_len=5, shuffle=False, seed=0)
+    # batch 2 (was 4): the raw-vs-float step equivalence is per-image
+    # and the eager (jit=False) step on the 1-core CI host scales with
+    # batch (r4 fast-lane budget)
+    kw = dict(batch_size=2, snippet_len=5, shuffle=False, seed=0)
     host = next(iter(DatasetLoader(ShardDataset(shard_dir), **kw)))
     raw = next(iter(DatasetLoader(ShardDataset(shard_dir),
                                   raw_images=True, **kw)))
@@ -72,7 +75,7 @@ def test_train_step_accepts_uint8(shard_dir):
                          stereo=False).get_model()
     total_loss = loss_factory(["image", "intrinsic"], {"L1": 1.0},
                               cfg.SCALE_WEIGHT_T1, stereo=False,
-                              batch_size=4)
+                              batch_size=2)
     tx = optimizer_factory("adam_constant", 1e-4)
     step = make_train_step(model, total_loss, jit=False)
 
