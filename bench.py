@@ -21,8 +21,9 @@ Env knobs: BENCH_STAGE=<name> benches ONE stage and prints the legacy
 single-stage line (probes/profiling use this); BENCH_STAGES=a,b,c
 selects the matrix; BENCH_BATCH/HEIGHT/WIDTH override shapes;
 BENCH_REPEATS windows per stage (best-of, because the shared tunnel
-dips 10-30% under contention); BENCH_DEADLINE_S wall-clock budget
-(default 1380 s, 0 disables): when it trips, the stage loop stops and
+dips 10-30% under contention); BENCH_STAGE_MIN_S a flat override of
+the per-stage minimum-budget floors; BENCH_DEADLINE_S wall-clock budget
+(default 1200 s, 0 disables): when it trips, the stage loop stops and
 whatever is already measured is printed (VERDICT r3 #1 -- the r3
 six-stage matrix compiled ~6 programs through the slow remote compile
 service and timed out the driver, leaving NO artifact). A persistent
@@ -66,8 +67,22 @@ DEADLINE_S = float(_os.environ.get("BENCH_DEADLINE_S", 1200))
 # don't even START a stage without this much budget left: each stage is
 # a fresh XLA program and the axon remote compile (~500-900 s cold,
 # uncancellable -- SIGALRM queues behind the blocking RPC) would blow
-# way past the deadline before the alarm can fire
-STAGE_MIN_S = float(_os.environ.get("BENCH_STAGE_MIN_S", 550))
+# way past the deadline before the alarm can fire. PER-STAGE minimums
+# (VERDICT r4 #2): a flat 550 s could never admit a second stage after
+# rigid's measured ~730 s of a 1200 s budget, yet predict is a far
+# cheaper forward-only program -- it gets a realistic floor so the
+# driver artifact accumulates at least rigid + predict every round.
+_STAGE_MIN_DEFAULT = {"predict": 120, "flow": 550, "joint": 550,
+                      "stereo": 550, "highres": 650}
+_STAGE_MIN_FLAT = _os.environ.get("BENCH_STAGE_MIN_S")
+
+
+def _stage_min_s(stage: str) -> float:
+    if _STAGE_MIN_FLAT is not None:
+        return float(_STAGE_MIN_FLAT)
+    return _STAGE_MIN_DEFAULT.get(stage, 550.0)
+
+
 T_START = time.time()
 
 
@@ -145,10 +160,14 @@ def build_stage(stage=STAGE or "rigid", batch=BATCH, height=HEIGHT,
         recipe.pop("flowL2_R", None)  # mono bench: no _R views
         step_kwargs["regularize_net"] = "flownet"
     elif stereo:
-        # the reference's MS recipe (LOSS_RIGID_T2-style + stereo terms)
+        # the PUBLISHED MS recipe (config-example.py:84-97 via
+        # mini_plan.RECIPE_STEREO): stereoL1/stereoSSIM at 0.5, not the
+        # 0.01 T1 variant -- measured r4, 0.01 is ~50x too weak to pin
+        # metric scale, so the benched program must carry the real
+        # cross-synthesis SSIM cost (VERDICT r4 weak #3)
         recipe = {"L1": 0.5, "SSIM": 0.5, "smoothe": 20.0,
                   "L1_R": 0.5, "SSIM_R": 0.5, "smoothe_R": 20.0,
-                  "stereoL1": 0.01, "stereoPose": 1.0}
+                  "stereoL1": 0.5, "stereoSSIM": 0.5, "stereoPose": 1.0}
         keys += ["image_R", "intrinsic_R", "stereo_T_LR"]
         features["image5d_R"] = jnp.asarray(
             rng.rand(batch, 5, height, width, 3).astype(np.float32) * 2 - 1)
@@ -297,6 +316,32 @@ def _stage_entry(stage):
 _STAGE_ORDER = ["rigid", "predict", "flow", "joint", "stereo", "highres"]
 
 
+def _driver_measured_stages():
+    """Stage names that already carry a driver-verified value in any
+    committed BENCH_r*.json -- successive driver rounds then prioritize
+    the still-unmeasured extras (round-robin accumulation, VERDICT r4
+    #2). Never fatal: bench must run outside the repo too."""
+    import glob
+    measured = set()
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    for path in glob.glob(_os.path.join(here, "BENCH_r*.json")):
+        try:
+            with open(path) as f:
+                artifact = json.load(f)
+        except (OSError, ValueError):
+            continue
+        # the driver wraps bench's JSON line under "parsed"
+        parsed = artifact.get("parsed") if "parsed" in artifact else artifact
+        if not isinstance(parsed, dict):
+            continue
+        if "value" in parsed and "rigid" in parsed.get("metric", ""):
+            measured.add("rigid")
+        for name, entry in parsed.get("stages", {}).items():
+            if isinstance(entry, dict) and "value" in entry:
+                measured.add(name)
+    return measured
+
+
 def _result_json(headline, stages):
     if headline is None:
         return json.dumps({"error": "no stage completed", "stages": stages})
@@ -331,6 +376,12 @@ def main():
     selected = [s.strip() for s in STAGES if s.strip()]
     ordered = ([s for s in _STAGE_ORDER if s in selected]
                + [s for s in selected if s not in _STAGE_ORDER])
+    # keep the headline first; among the extras, never-driver-measured
+    # stages go before already-measured ones (stable within each group)
+    if len(ordered) > 1:
+        measured = _driver_measured_stages()
+        ordered = ordered[:1] + sorted(
+            ordered[1:], key=lambda s: (s in measured, ordered.index(s)))
     stages = {}
     state = {"headline": None}
 
@@ -352,7 +403,7 @@ def main():
         left = _time_left()
         # the headline stage always gets a shot (its provisional emit is
         # the artifact's reason to exist); extras need a realistic budget
-        min_budget = 1 if stage == headline_stage else STAGE_MIN_S
+        min_budget = 1 if stage == headline_stage else _stage_min_s(stage)
         if left < min_budget:
             stages[stage] = {"skipped": "deadline"}
             continue

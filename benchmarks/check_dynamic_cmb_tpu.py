@@ -56,6 +56,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from xpt_mde_tpu.utils.compile_cache import enable as enable_cache
+from xpt_mde_tpu.utils.results import record
 
 WORKDIR = Path("/tmp/xpt_dynamic_cmb")
 T0 = time.time()
@@ -160,8 +161,9 @@ def main():
         # v2 failure mode: a too-fast fine-tune poisons static depth
         # under BOTH objectives, drowning the band comparison)
         and arms["cmb"]["rest"] <= shared["rest"] * 1.3)
-    print(json.dumps({
+    record("dynamic_cmb", {
         "ok": bool(ok),
+        "protocol": "v3",
         "analytic_bias": bias,
         "init_band": round(init["band"], 4),
         "shared_band": round(shared["band"], 4),
@@ -172,7 +174,7 @@ def main():
         "cmb_abs_rel": round(arms["cmb"]["abs_rel"], 4),
         "rigid_rest": round(arms["rigid"]["rest"], 4),
         "cmb_rest": round(arms["cmb"]["rest"], 4),
-    }))
+    })
     assert ok, "cmb did not beat the rigid-only arm on the moving band"
 
 

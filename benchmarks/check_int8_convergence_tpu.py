@@ -18,6 +18,7 @@ Run:  python benchmarks/check_int8_convergence_tpu.py
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import time
@@ -26,9 +27,16 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from xpt_mde_tpu.utils.compile_cache import enable as enable_cache
+from xpt_mde_tpu.utils.results import record
 
 WORKDIR = Path("/tmp/xpt_int8_convergence")
 T0 = time.time()
+# r4 measured delta_abs_rel 0.0181 at 1x budget (756 steps) -- 90% of
+# the 0.02 gate. VERDICT r4 #4: settle the default with a longer run
+# (INT8_BUDGET_X=2..3) and/or augmentation on (INT8_AUGMENT=1 -- keeps
+# warp coords off the uint8 grid, where the <=1/255 quantization bites).
+BUDGET_X = int(os.environ.get("INT8_BUDGET_X", 1))
+AUGMENT = os.environ.get("INT8_AUGMENT", "0") == "1"
 
 
 def log(*args):
@@ -49,14 +57,20 @@ def run_arm(warp_kernel: str) -> dict:
     # whole comparison must train through the kernel
     lr, sw = 3e-4, mp.SCALE_WEIGHT_T1
     plan = [
-        TrainStage(mp.RIGID_NETS, "synthetic", 12, lr,
+        TrainStage(mp.RIGID_NETS, "synthetic", 12 * BUDGET_X, lr,
                    mp.RECIPE_RIGID, sw, True),
-        TrainStage(mp.FLOW_NETS, "synthetic", 3, lr * 0.3,
+        TrainStage(mp.FLOW_NETS, "synthetic", 3 * BUDGET_X, lr * 0.3,
                    mp.RECIPE_FLOW, sw, True),
-        TrainStage(mp.JOINT_NETS, "synthetic", 3, lr * 0.1,
+        TrainStage(mp.JOINT_NETS, "synthetic", 3 * BUDGET_X, lr * 0.1,
                    mp.RECIPE_JOINT, sw, True),
     ]
-    cfg = mp.make_config(workdir, plan, batch=8, warp_kernel=warp_kernel)
+    overrides = {}
+    if AUGMENT:
+        overrides["augment_probs"] = {"CropAndResize": 0.3,
+                                      "HorizontalFlip": 0.3,
+                                      "ColorJitter": 0.3}
+    cfg = mp.make_config(workdir, plan, batch=8, warp_kernel=warp_kernel,
+                         **overrides)
     factory = mp.synthetic_factory(train_batches=42, val_batches=2)
     train_by_plan(cfg, factory)
 
@@ -83,15 +97,17 @@ def main():
     # gates carry the claim (measured: d_abs 0.0181, d_trj 0.0006)
     ok = (abs(d_abs) < 0.02 and abs(d_trj) < 0.03
           and int8["abs_rel"] < 0.35)
-    print(json.dumps({
+    record("int8_convergence", {
         "ok": bool(ok),
+        "budget_x": BUDGET_X,
+        "augment": AUGMENT,
         "int8_abs_rel": round(int8["abs_rel"], 4),
         "exact_abs_rel": round(exact["abs_rel"], 4),
         "delta_abs_rel": round(d_abs, 4),
         "int8_trj_rel": round(int8["trj_rel_err"], 4),
         "exact_trj_rel": round(exact["trj_rel_err"], 4),
         "delta_trj_rel": round(d_trj, 4),
-    }))
+    })
     assert ok, "int8 warp default costs converged accuracy"
 
 

@@ -101,11 +101,13 @@ def main():
           and trajectory["after_rigid"]["trj_rel_err"]
           < 0.5 * init["trj_rel_err"]
           and trajectory["after_joint"]["abs_rel"] < 0.5 * init["abs_rel"])
-    print(json.dumps({"ok": bool(ok),
-                      **{f"{k}_abs_rel": round(v["abs_rel"], 4)
-                         for k, v in trajectory.items()},
-                      **{f"{k}_trj_rel": round(v.get("trj_rel_err", -1), 4)
-                         for k, v in trajectory.items()}}))
+    from xpt_mde_tpu.utils.results import record
+    record("plan_learns", {"ok": bool(ok),
+                           **{f"{k}_abs_rel": round(v["abs_rel"], 4)
+                              for k, v in trajectory.items()},
+                           **{f"{k}_trj_rel": round(v.get("trj_rel_err", -1),
+                                                    4)
+                              for k, v in trajectory.items()}})
     assert ok, "metrics did not clearly improve"
 
 

@@ -11,7 +11,14 @@ Two configurations, same plan driver:
 
   yaw_exp:    Exponential activation (the r3-proven setting) on the
               5..20 m yaw world -> rot_err must fall materially
-              (VERDICT #4).
+              (VERDICT #4). SCOPE: a ROTATION-ONLY claim -- its gate
+              allows abs_rel up to 1.25x init (the Garg crop leaves
+              this world's depth sweep ~no headroom; a constant
+              predictor already scores 0.14 after median scaling), so
+              it is NOT depth-learning evidence. Exponential's depth
+              proofs live in check_plan_learns_tpu (banded world,
+              AbsRel 0.533 -> 0.03) and yaw_invsig carries the
+              depth+rotation combination here.
   yaw_invsig: depth_activation left at the flagship DEFAULT
               InverseSigmoid (model_factory.py:134-138 -- the setting
               that produced the reference's Table 4) on a 6..45 m
@@ -38,6 +45,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from xpt_mde_tpu.utils.compile_cache import enable as enable_cache
+from xpt_mde_tpu.utils.results import record
 
 WORKDIR = Path("/tmp/xpt_planar_learns")
 T0 = time.time()
@@ -119,7 +127,7 @@ def main():
     out = {}
     for name in [c.strip() for c in selected.split(",") if c.strip()]:
         out[name] = run_case(name)
-    print(json.dumps(out))
+    record("planar_learns", out)
     assert all(v["ok"] for v in out.values()), out
 
 

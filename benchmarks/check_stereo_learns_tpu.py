@@ -35,6 +35,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from xpt_mde_tpu.utils.compile_cache import enable as enable_cache
+from xpt_mde_tpu.utils.results import record
 
 WORKDIR = Path("/tmp/xpt_stereo_learns")
 T0 = time.time()
@@ -110,7 +111,7 @@ def main():
           # predicted L->R twist converges to the GT extrinsic
           and stereo["lr_trans_err"] < 0.25 * init["lr_trans_err"]
           and stereo["lr_trans_err"] < 0.05 * BASELINE_M * 3)
-    print(json.dumps({
+    record("stereo_learns", {
         "ok": bool(ok),
         **{f"{k}_abs_rel": round(v["abs_rel"], 4)
            for k, v in trajectory.items()},
@@ -118,7 +119,7 @@ def main():
            for k, v in trajectory.items()},
         **{f"{k}_lr_trans": round(v["lr_trans_err"], 5)
            for k, v in trajectory.items()},
-    }))
+    })
     assert ok, "stereo MS recipe did not demonstrate metric learning"
 
 

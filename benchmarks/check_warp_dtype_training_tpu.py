@@ -92,6 +92,7 @@ def main():
     lb = np.array(runs["int8"]["losses"])
     ra = np.array(runs["exact"]["abs_rels"])
     rb = np.array(runs["int8"]["abs_rels"])
+    from xpt_mde_tpu.utils.results import record
     out = {
         "steps": STEPS,
         "max_rel_loss_diff": float(np.max(np.abs(la - lb)
@@ -102,7 +103,7 @@ def main():
         "final_abs_rel_int8": float(rb[-1]),
         "final_abs_rel_diff": float(abs(ra[-1] - rb[-1])),
     }
-    print(json.dumps(out))
+    record("warp_dtype_training", out)
 
 
 if __name__ == "__main__":
