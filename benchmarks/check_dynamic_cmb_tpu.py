@@ -46,7 +46,6 @@ Env:  CMB_SHARED_EPOCHS (static pre-train), CMB_EXTRA_EPOCHS (dynamic
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import sys

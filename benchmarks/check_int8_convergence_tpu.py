@@ -17,7 +17,6 @@ Run:  python benchmarks/check_int8_convergence_tpu.py
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import sys

@@ -16,7 +16,6 @@ Run:  python benchmarks/check_plan_learns_tpu.py
 
 from __future__ import annotations
 
-import json
 import shutil
 import sys
 import time

@@ -35,7 +35,6 @@ Run:  python benchmarks/check_planar_learns_tpu.py
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import sys

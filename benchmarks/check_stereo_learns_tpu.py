@@ -25,7 +25,6 @@ Run:  python benchmarks/check_stereo_learns_tpu.py
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import sys

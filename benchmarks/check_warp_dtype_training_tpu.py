@@ -17,7 +17,6 @@ Config.warp_kernel="pallas"; the semantics being approximated are
 
 from __future__ import annotations
 
-import json
 import sys
 import time
 from pathlib import Path
