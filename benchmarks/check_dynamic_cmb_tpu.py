@@ -35,13 +35,21 @@ the Garg crop into the moving band vs the static rest
 (mini_plan.band_abs_rel), all evaluated at 64x128 on the dynamic val
 world.
 
-Expected: the rigid arm's band AbsRel RISES from the good init toward
-the analytic bias |1/(1-r) - 1| = 1.5 (the trap materializes) while
-the cmb arm's stays well below it, without losing overall AbsRel.
+Expected (v4 metrics -- scale attribution): the rigid arm's band/rest
+relative-depth ratio RISES from ~1 toward the analytic 1/(1-r) = 2.5
+(the trap materializes) while the cmb arm's stays near 1, without
+losing static-rest accuracy or overall AbsRel. v3's gates read the
+band/rest split under FULL-IMAGE median scaling and were inverted by
+the v3 run itself (measured r5): the rigid arm drove the relative
+ratio to the full 2.5 but the median anchored inside the band, so
+"band" read 0.045 and the intact "rest" read 0.597 = |1/2.5 - 1|.
+mini_plan.band_abs_rel now anchors the scaler on the static rows and
+reports the scale-free ratio; the training protocol is unchanged.
 
 Run:  python benchmarks/check_dynamic_cmb_tpu.py
 Env:  CMB_SHARED_EPOCHS (static pre-train), CMB_EXTRA_EPOCHS (dynamic
-      fine-tune per arm)
+      fine-tune per arm), CMB_EVAL_ONLY=1 (skip training, re-evaluate
+      existing checkpoints under the current metrics)
 """
 
 from __future__ import annotations
@@ -98,7 +106,9 @@ def main():
     from xpt_mde_tpu.training import mini_plan as mp
     from xpt_mde_tpu.training.trainer import train_by_plan
 
-    shutil.rmtree(WORKDIR, ignore_errors=True)
+    eval_only = os.environ.get("CMB_EVAL_ONLY", "0") == "1"
+    if not eval_only:
+        shutil.rmtree(WORKDIR, ignore_errors=True)
     sw = mp.SCALE_WEIGHT_T1
     lr = 3e-4
     lr_ft = LR_FT  # fine-tune rate on the dynamic world (see STEP_M note)
@@ -130,7 +140,8 @@ def main():
     init = evaluate(cfg, val, restore=False)
     log("init        :", {k: round(v, 4) for k, v in init.items()})
 
-    train_by_plan(cfg, static_factory)
+    if not eval_only:
+        train_by_plan(cfg, static_factory)
     shared = evaluate(cfg, val)
     log("shared rigid:", {k: round(v, 4) for k, v in shared.items()})
 
@@ -139,22 +150,26 @@ def main():
     for arm, plan in (("rigid", [stage_shared, stage_rigid_ft]),
                       ("cmb", [stage_shared, stage_flow, stage_joint])):
         arm_dir = WORKDIR / arm
-        shutil.copytree(WORKDIR / "shared", arm_dir)
         cfg_arm = mp.make_config(arm_dir, plan, batch=8)
-        train_by_plan(cfg_arm, dynamic_factory)  # stage 0 resumes as done
+        if not eval_only:
+            shutil.copytree(WORKDIR / "shared", arm_dir)
+            train_by_plan(cfg_arm, dynamic_factory)  # stage 0 resumes done
         arms[arm] = evaluate(cfg_arm, val)
         log(f"arm {arm:5s}   :", {k: round(v, 4)
                                   for k, v in arms[arm].items()})
 
-    bias = abs(1.0 / (1.0 - VEL_RATIO) - 1.0)
-    log(f"analytic band bias AbsRel if rigid fully converges: {bias:.2f}")
+    trap_ratio = 1.0 / (1.0 - VEL_RATIO)  # 2.5 at r=0.6
+    log(f"analytic band/rest ratio if rigid fully converges: "
+        f"{trap_ratio:.2f}")
+    rigid_dev = abs(arms["rigid"]["ratio"] - 1.0)
+    cmb_dev = abs(arms["cmb"]["ratio"] - 1.0)
     ok = (
-        # the trap's direction is visible: rigid-only fine-tuning moves
-        # the band away from the good init toward the bias
-        arms["rigid"]["band"] > 1.3 * shared["band"]
+        # the trap materializes: rigid-only fine-tuning drives the
+        # band's relative depth at least halfway to the analytic bias
+        rigid_dev > 0.5 * (trap_ratio - 1.0)
         # ...and cmb refuses the trade
-        and arms["cmb"]["band"] < 0.8 * arms["rigid"]["band"]
-        # cmb wins overall held-out AbsRel on the dynamic world
+        and cmb_dev < 0.5 * rigid_dev
+        # cmb keeps overall held-out AbsRel at least as good
         and arms["cmb"]["abs_rel"] <= arms["rigid"]["abs_rel"]
         # and the static rest stays in the shared stage's regime (the
         # v2 failure mode: a too-fast fine-tune poisons static depth
@@ -162,17 +177,20 @@ def main():
         and arms["cmb"]["rest"] <= shared["rest"] * 1.3)
     record("dynamic_cmb", {
         "ok": bool(ok),
-        "protocol": "v3",
-        "analytic_bias": bias,
-        "init_band": round(init["band"], 4),
+        "protocol": "v4",
+        "analytic_trap_ratio": trap_ratio,
+        "shared_ratio": round(shared["ratio"], 4),
+        "rigid_ratio": round(arms["rigid"]["ratio"], 4),
+        "cmb_ratio": round(arms["cmb"]["ratio"], 4),
         "shared_band": round(shared["band"], 4),
         "rigid_band": round(arms["rigid"]["band"], 4),
         "cmb_band": round(arms["cmb"]["band"], 4),
+        "shared_rest": round(shared["rest"], 4),
+        "rigid_rest": round(arms["rigid"]["rest"], 4),
+        "cmb_rest": round(arms["cmb"]["rest"], 4),
         "shared_abs_rel": round(shared["abs_rel"], 4),
         "rigid_abs_rel": round(arms["rigid"]["abs_rel"], 4),
         "cmb_abs_rel": round(arms["cmb"]["abs_rel"], 4),
-        "rigid_rest": round(arms["rigid"]["rest"], 4),
-        "cmb_rest": round(arms["cmb"]["rest"], 4),
     })
     assert ok, "cmb did not beat the rigid-only arm on the moving band"
 

@@ -126,6 +126,35 @@ def test_cmb_objective_neutralizes_moving_object_trap():
     assert abs(cmb_gap) < 0.1 * rigid_gap, (cmb_gap, rigid_gap)
 
 
+def test_band_abs_rel_attribution_is_scale_anchored():
+    """Pin mini_plan.band_abs_rel's v4 semantics (measured r5: the v3
+    full-image median scaler anchored INSIDE the biased band and
+    inverted the attribution — the intact static rest read
+    |1/2.5 − 1| = 0.6 while the trapped band read ~0). With the scaler
+    anchored on the static rows, a band biased by the analytic
+    d_obj/(1−r) factor must read as BAND error and a ratio of 2.5,
+    regardless of the prediction's global scale."""
+    from xpt_mde_tpu.training.mini_plan import band_abs_rel
+
+    rng = np.random.RandomState(0)
+    height, width, r0, r1 = 64, 128, 24, 40
+    gt = 5.0 + 15.0 * rng.rand(2, height, width)
+    for global_scale in (1.0, 3.7):  # monocular depth is scale-free
+        pred = gt * global_scale
+        pred[:, r0:r1] *= 2.5  # the trap's analytic band bias
+        out = band_abs_rel({"depth": pred[..., None],
+                            "depth_gt": gt[..., None]}, r0, r1)
+        assert abs(out["ratio"] - 2.5) < 1e-6, out
+        assert out["rest"] < 1e-6, out
+        assert abs(out["band"] - 1.5) < 1e-6, out
+
+    # intact prediction: ratio ~1, both regions ~0, at any scale
+    out = band_abs_rel({"depth": (gt * 2.0)[..., None],
+                        "depth_gt": gt[..., None]}, r0, r1)
+    assert abs(out["ratio"] - 1.0) < 1e-6, out
+    assert out["band"] < 1e-6 and out["rest"] < 1e-6, out
+
+
 def test_planar_world_depth_profile_and_pose():
     data = PlanarSceneDataset(batch_size=1, height=32, width=64,
                               num_batches=1, depth_min=5.0, depth_max=20.0,

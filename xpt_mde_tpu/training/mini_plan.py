@@ -233,32 +233,51 @@ def evaluate_flow_epe(cfg: Config, val_data, restore: bool = True) -> float:
 
 
 def band_abs_rel(results: dict, r0: int, r1: int) -> dict:
-    """AbsRel split into the moving band rows [r0, r1) vs the static
-    rest, both inside the Garg crop, with the standard full-image
-    GT-median scaling (so band bias shows up against a well-scaled
-    background).  Keys: ``band``, ``rest``."""
+    """Moving-band vs static-rest depth attribution inside the Garg
+    crop, with the GT-median scaler anchored on the STATIC rest rows.
+
+    Why rest-anchored (measured r5, dynamic-cmb v3 run): monocular
+    depth is scale-free, so WHERE the moving-object bias shows up
+    depends entirely on which pixels the median scaler aligns. Under
+    full-image scaling, the rigid arm's fully-materialized trap
+    (band/rest relative depth driven to the analytic d_obj/(1-r)
+    ratio = 2.5) anchored the median INSIDE the band -- band AbsRel
+    read 0.045 while the perfectly-intact static rest read 0.597
+    = |1/2.5 - 1|, inverting the attribution. Anchoring the scaler on
+    the static rows (the pixels whose GT the rigid assumption is
+    valid for) makes band error mean band bias.
+
+    Keys: ``band``/``rest`` (rest-anchored AbsRel), ``ratio`` -- the
+    scale-free band/rest relative-depth ratio
+    median(pred_band/gt_band) / median(pred_rest/gt_rest); the rigid
+    trap's analytic prediction is 1/(1-r) (2.5 at r=0.6), an intact
+    net reads ~1 regardless of global scale.
+    """
     import numpy as np
 
-    from xpt_mde_tpu.evaluate.depth_metrics import valid_depth_filter
-
-    band_vals, rest_vals = [], []
+    band_vals, rest_vals, ratios = [], [], []
     for i in range(results["depth"].shape[0]):
         pred = np.squeeze(np.array(results["depth"][i], np.float64))
         gt = np.squeeze(np.array(results["depth_gt"][i], np.float64))
         height, width = gt.shape
-        _, _, scaler = valid_depth_filter(pred, gt, return_scale=True)
-        pred = np.clip(pred * scaler, 1e-3, 80.0)
         crop = np.array([0.40810811 * height, 0.99189189 * height,
                          0.03594771 * width, 0.96405229 * width], np.int32)
-        abs_rel = np.abs(gt - pred) / gt
         in_crop = np.zeros_like(gt, bool)
         in_crop[crop[0]:crop[1], crop[2]:crop[3]] = True
         in_band = np.zeros_like(gt, bool)
         in_band[r0:r1] = True
-        band_vals.append(abs_rel[in_crop & in_band].mean())
-        rest_vals.append(abs_rel[in_crop & ~in_band].mean())
+        band_m, rest_m = in_crop & in_band, in_crop & ~in_band
+        rel_band = np.median(pred[band_m] / gt[band_m])
+        rel_rest = np.median(pred[rest_m] / gt[rest_m])
+        ratios.append(rel_band / rel_rest)
+        scaler = 1.0 / rel_rest  # static-anchored GT-median scale
+        scaled = np.clip(pred * scaler, 1e-3, 80.0)
+        abs_rel = np.abs(gt - scaled) / gt
+        band_vals.append(abs_rel[band_m].mean())
+        rest_vals.append(abs_rel[rest_m].mean())
     return {"band": float(np.mean(band_vals)),
-            "rest": float(np.mean(rest_vals))}
+            "rest": float(np.mean(rest_vals)),
+            "ratio": float(np.mean(ratios))}
 
 
 def unscaled_abs_rel(results: dict) -> float:
