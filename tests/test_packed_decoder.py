@@ -10,6 +10,7 @@ interchangeable.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from xpt_mde_tpu.models.backbones import backbone_factory
 from xpt_mde_tpu.models.depth_net import DepthNetPretrained
@@ -69,6 +70,8 @@ def test_packed_tail_matches_plain_decoder():
                                    atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow  # grad-compile heavy; forward equivalence stays
+# fast-pinned by test_packed_tail_matches_plain_decoder (r5 budget)
 def test_packed_tail_grads_match():
     rng = np.random.RandomState(3)
     image5d = jnp.asarray(rng.rand(1, 5, 32, 64, 3).astype(np.float32) * 2 - 1)

@@ -111,6 +111,9 @@ def test_routed_coarse_level_matches_and_differentiates():
     assert np.allclose(g_out, g_ref, atol=1e-6)
 
 
+@pytest.mark.slow  # full-net composition pin; the kernel backward
+# itself stays fast-pinned by test_pallas_correlation_grads_match_xla
+# (r5 fast-lane budget)
 def test_grad_through_pwcnet_pallas():
     """Flow stages differentiate through the Pallas correlation path
     (VERDICT weak #1: used to raise 'Linearization failed')."""

@@ -50,6 +50,8 @@ def test_device_decode_matches_host(shard_dir):
     assert again["image5d"] is decoded["image5d"]
 
 
+@pytest.mark.slow  # eager-step twin; the decode contract stays
+# fast-pinned by test_device_decode_matches_host (r5 budget)
 def test_train_step_accepts_uint8(shard_dir):
     import jax
 
