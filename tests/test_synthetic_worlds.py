@@ -67,6 +67,43 @@ def test_moving_object_breaks_rigid_consistency_only_in_band():
     assert band_biased < 0.3 * band, (band_biased, band)
 
 
+def test_accelerating_band_has_no_consistent_depth():
+    """The v6 world property (measured r5 motivation: at constant
+    velocity the trap state's photometric error is ~0.01 — BELOW any
+    achievable flow error, so no mask criterion can evict an entered
+    trap). With object_accel, the per-source equivalent velocity ratio
+    varies across the snippet, so NO single band depth closes all
+    sources: sweeping candidate depths from 0.5x to 6x GT, the best
+    band error stays a large fraction of the GT-depth band error —
+    the trap floor a learned flow CAN undercut."""
+    data = SyntheticDataset(batch_size=1, height=32, width=64,
+                            num_batches=1, varying_depth=True,
+                            moving_object=True, object_accel=0.4, seed=3)
+    feats = next(iter(data))
+    r0, r1 = data.object_rows()
+    margin = 8
+    d_obj = data.object_depth_m
+
+    def band_err(scale):
+        depth = np.array(feats["depth_gt"])
+        depth[0, r0:r1] = d_obj * scale
+        err = _gt_synth_err(feats, depth)
+        return err[r0:r1, margin:-margin].mean()
+
+    gt_band = band_err(1.0)
+    best = min(band_err(s) for s in
+               [0.5, 0.8, 1.0, 1.25, 1.67, 2.0, 2.5, 3.0, 4.0, 5.0, 6.0])
+    # constant velocity collapses the band error to <0.3x at the bias
+    # (test above); under accel no candidate gets anywhere close
+    assert best > 0.55 * gt_band, (best, gt_band)
+
+    # static rows are untouched by the accel: GT still closes them
+    err = _gt_synth_err(feats)
+    rest = np.concatenate([err[: r0 - 1, margin:-margin],
+                           err[r1 + 1:, margin:-margin]]).mean()
+    assert rest < 0.02, rest
+
+
 def test_cmb_objective_neutralizes_moving_object_trap():
     """Objective-level twin of benchmarks/check_dynamic_cmb_tpu.py
     (VERDICT r3 #2): on the moving-object world, the plain rigid

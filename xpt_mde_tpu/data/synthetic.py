@@ -85,6 +85,7 @@ class SyntheticDataset:
                  vary_motion: bool = False, baseline_m: float = 0.3,
                  moving_object: bool = False,
                  object_vel_ratio: float = 0.6,
+                 object_accel: float = 0.0,
                  object_depth_m: float | None = None):
         """``varying_depth`` replaces the constant-depth plane with a
         row-banded relief (depth sweeps depth_m/2 .. depth_m*2 across
@@ -107,7 +108,22 @@ class SyntheticDataset:
         d_bias = d_obj * s/(s-w) = d_obj/(1-r), the classic
         moving-object depth bias -- so rigid-only training converges to
         a measurably biased band depth while the flow branch can model
-        the band's true correspondence."""
+        the band's true correspondence.
+
+        ``object_accel`` (r5, dynamic-cmb protocol v6): at constant
+        velocity the biased depth closes the warp EXACTLY for every
+        source frame (the trap state's photometric error is ~0.01,
+        measured -- below any achievable flow error, so once entered no
+        mask criterion can evict it). A nonzero accel makes the
+        per-source equivalent velocity ratio r_t = r + accel*t/2 vary
+        across the snippet: NO single depth closes all sources (real
+        moving objects are in this regime -- image-rate motion is never
+        exactly constant), the trap state keeps a high photometric
+        floor that a learned flow (per-source fields) CAN undercut, and
+        the cmb mask can then exclude the band durably. Depth/pose GT
+        are unchanged; flow GT per source t is
+        fx*(t*step - x_obj(t))/d_obj with x_obj(t) = step*t*(r +
+        accel*t/2)."""
         self.batch_size = batch_size
         self.snippet_len = snippet_len
         self.height = height
@@ -127,6 +143,7 @@ class SyntheticDataset:
         self.varying_depth = varying_depth
         self.moving_object = moving_object
         self.object_vel_ratio = object_vel_ratio
+        self.object_accel = object_accel
         self.object_depth_m = (object_depth_m if object_depth_m is not None
                                else depth_m * 0.7)
         if moving_object:
@@ -176,17 +193,20 @@ class SyntheticDataset:
         if self.moving_object:
             r0, r1 = self.object_rows()
             d_obj = self.object_depth_m
-            vel = self.object_vel_ratio * step  # meters per frame
+            r, a = self.object_vel_ratio, self.object_accel
             obj_tex = _texture(r1 - r0, self.width, rng)
             if self.varying_depth:
                 obj_tex = _tint_by_inverse_depth(
                     obj_tex, np.full((r1 - r0,), d_obj, np.float32),
                     self.depth_m * 0.5, self.depth_m * 2.0)
             for frame, t in zip(frames, src_times + [0]):
-                # object world-x at time t is vel*t; its image shift is
-                # set by the camera-relative offset (exact per-row render)
+                # object world-x at time t: x_obj(t) = step*t*(r + a*t/2)
+                # (constant velocity when a=0; the per-source equivalent
+                # ratio is r + a*t/2); image shift is set by the
+                # camera-relative offset (exact per-row render)
+                x_obj = step * t * (r + a * t / 2.0)
                 frame[r0:r1] = _render_plane(
-                    obj_tex, self.intrinsic[0, 0], t * step - vel * t, d_obj)
+                    obj_tex, self.intrinsic[0, 0], t * step - x_obj, d_obj)
         image5d = np.stack(frames, axis=0)
 
         # target->source transform for camera at +o: x_src = x - o
