@@ -103,6 +103,13 @@ TRAIN_BATCHES = int(os.environ.get("CMB_TRAIN_BATCHES", 42))
 # rate the r3 joint stage was proven at.
 STEP_M = float(os.environ.get("CMB_STEP_M", 0.25))
 LR_FT = float(os.environ.get("CMB_LR_FT", 5e-5))
+# v6: accelerating band (data/synthetic.py object_accel) -- at constant
+# velocity the trap state closes the warp exactly (measured static L1
+# ~0.012, below any achievable flow error), so prevention cannot be
+# guaranteed by ANY mask criterion; with accel the trap keeps a high
+# photometric floor the learned flow undercuts. 0 reproduces v5.
+ACCEL = float(os.environ.get("CMB_OBJECT_ACCEL", 0.4))
+PROTOCOL = "v6" if ACCEL else "v5"
 
 
 def log(*args):
@@ -142,7 +149,7 @@ def main():
     lr = 3e-4
     lr_ft = LR_FT  # fine-tune rate on the dynamic world (see STEP_M note)
     world = dict(moving_object=True, object_vel_ratio=VEL_RATIO,
-                 step_m=STEP_M)
+                 object_accel=ACCEL, step_m=STEP_M)
     static_factory = mp.synthetic_factory(train_batches=TRAIN_BATCHES,
                                           val_batches=2)
     dynamic_factory = mp.synthetic_factory(train_batches=TRAIN_BATCHES,
@@ -207,7 +214,8 @@ def main():
         and arms["cmb"]["rest"] <= shared["rest"] * 1.3)
     record("dynamic_cmb", {
         "ok": bool(ok),
-        "protocol": "v5",
+        "protocol": PROTOCOL,
+        "object_accel": ACCEL,
         "flow_epochs": FLOW_EPOCHS,
         "analytic_trap_ratio": trap_ratio,
         "shared_ratio": round(shared["ratio"], 4),
