@@ -26,9 +26,10 @@ the per-stage minimum-budget floors; BENCH_DEADLINE_S wall-clock budget
 (default 1200 s, 0 disables): when it trips, the stage loop stops and
 whatever is already measured is printed (VERDICT r3 #1 -- the r3
 six-stage matrix compiled ~6 programs through the slow remote compile
-service and timed out the driver, leaving NO artifact). A persistent
-XLA compilation cache (.cache/jax_compile, verified working on the
-axon TPU backend) makes warm reruns compile-free.
+service and timed out the driver, leaving NO artifact). The persistent
+XLA compilation cache is enabled, but measured r4 (CLAUDE.md): on the
+axon backend the per-process remote compile/load roundtrip dominates
+even on fully-cached reruns -- budget every fresh process as cold.
 
 vs_baseline: the reference publishes NO throughput (BASELINE.md); the
 denominator is a documented estimate of the TF2.4 single-GPU pipeline
